@@ -1,0 +1,585 @@
+"""Fused flash-attention with softmax-N as a Pallas TPU kernel.
+
+This is the TPU-native replacement for BOTH fused paths of the reference
+library (reference: flash_attention_softmax_n/core/flash_attn.py:42-124 —
+the integer-n KV-zero-padding trick over torch SDPA — and
+core/flash_attn_triton.py — the real-valued-n Triton kernel). Because we own
+the kernel, real-valued n is the general case and no padding trick is needed.
+
+The softmax-N trick used here — the *phantom key*
+---------------------------------------------------
+``softmax_n`` is exactly a standard softmax over the real keys plus one
+phantom key with logit 0 and value 0::
+
+    softmax_n(x)_i = exp(x_i) / (n + sum_j exp(x_j))
+                   = exp(x_i) / (n * exp(0) + sum_j exp(x_j))
+
+so the online-softmax recurrence (running max ``m``, running sum ``l``,
+rescaled accumulator — the same (m, l) algebra as the reference Triton kernel
+flash_attn_triton.py:100-114) needs only a different *initial state*:
+``m0 = 0, l0 = n`` (for n > 0). The final normalization ``acc / l`` then
+yields softmax-N exactly — no epilogue correction term, and fully-masked rows
+come out as 0/n = 0 (finite n > 0) instead of NaN, fixing the reference's
+documented causal/real-n limitation (reference README.md:45).
+
+The stored residual ``lse = m_final + log(l_final) = log(n + sum_j exp(s_j))``
+makes the backward pass *identical* to standard flash-attention backward:
+``p = exp(s - lse)`` are exactly the softmax-N probabilities, and
+
+    ds_k = p_k * (dp_k - delta),   delta = rowsum(do * o)
+
+holds for softmax-N too (the same derivation as softmax-0: the ``+n`` only
+enters through the normalizer already folded into ``lse``). This proves the
+property the reference only observed empirically (its Triton backward is the
+unmodified softmax-0 backward, flash_attn_triton.py:146-235).
+
+Layout / performance notes (TPU):
+  * Grid is (batch, heads, q_blocks, kv_blocks) with the kv dimension
+    innermost ("arbitrary" semantics) so (m, l, acc) live in VMEM scratch
+    across the kv sweep; batch/head/q dims are parallel.
+  * Scores and accumulator are f32 (MXU ``preferred_element_type``); the PV
+    matmul re-casts p to the value dtype (bf16 in, f32 accumulate).
+  * Causal blocks entirely above the (rectangular, ``S - L``-offset) diagonal
+    are skipped with predicated execution.
+  * ALiBi can be generated in-kernel from per-head slopes (zero HBM traffic)
+    instead of a materialized (L, S) bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention_n_fused", "FlashConfig"]
+
+NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+LANES = 128  # TPU vreg lane count; (m, l) scratch is replicated across lanes
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashConfig:
+    """Static kernel configuration (hashable; closed over at trace time)."""
+
+    n: float = 0.0
+    scale: float = 1.0
+    is_causal: bool = False
+    q_len: int = 0  # actual (pre-padding) query length
+    kv_len: int = 0  # actual (pre-padding) key/value length
+    block_q: int = 128
+    block_k: int = 128
+    has_bias: bool = False
+    has_alibi: bool = False
+    interpret: bool = False
+
+
+def _causal_offset(cfg: FlashConfig) -> int:
+    # Rectangular causal mask: key j visible to query i iff j <= i + (S - L)
+    # (reference functional.py:80 tril(diagonal=S-L)).
+    return cfg.kv_len - cfg.q_len
+
+
+def _block_visible(cfg: FlashConfig, iq, ik):
+    """Whether kv block ik intersects the causal-visible region of q block iq."""
+    k_min = ik * cfg.block_k
+    q_max = iq * cfg.block_q + cfg.block_q - 1
+    return k_min <= q_max + _causal_offset(cfg)
+
+
+def _scores(cfg: FlashConfig, q, k, bias, alibi_slope, iq, ik):
+    """f32 (block_q, block_k) masked scores for the current tile."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * cfg.scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    q_pos = iq * cfg.block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (cfg.block_q, cfg.block_k), 0
+    )
+    k_pos = ik * cfg.block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (cfg.block_q, cfg.block_k), 1
+    )
+    if alibi_slope is not None:
+        # ALiBi: slope * -(distance); distance measured with the rectangular
+        # offset so the last key aligns with the last query.
+        dist = (q_pos + _causal_offset(cfg) - k_pos).astype(jnp.float32)
+        s = s - alibi_slope * jnp.abs(dist)
+    mask = k_pos < cfg.kv_len
+    if cfg.is_causal:
+        mask = jnp.logical_and(mask, k_pos <= q_pos + _causal_offset(cfg))
+    return jnp.where(mask, s, NEG_INF)
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
+    if cfg.has_bias and cfg.has_alibi:
+        q_ref, k_ref, v_ref, b_ref, a_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    elif cfg.has_bias:
+        q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        a_ref = None
+    elif cfg.has_alibi:
+        q_ref, k_ref, v_ref, a_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        b_ref = None
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        b_ref = a_ref = None
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        # Phantom-key initialization: m0 = 0, l0 = n puts the +n term into
+        # the running denominator exactly once. For n == 0 fall back to the
+        # classic -inf-like init (softmax-0 is shift invariant).
+        m_scr[...] = jnp.full_like(m_scr, 0.0 if cfg.n > 0 else NEG_INF)
+        l_scr[...] = jnp.full_like(l_scr, float(cfg.n))
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        bias = b_ref[0, 0] if b_ref is not None else None
+        slope = a_ref[0, 0] if a_ref is not None else None
+        s = _scores(cfg, q, k, bias, slope, iq, ik)
+
+        m_prev = m_scr[...]  # (block_q, LANES), lane-replicated
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_cur)  # broadcast to (block_q, LANES)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    if cfg.is_causal:
+        pl.when(_block_visible(cfg, iq, ik))(_body)
+    else:
+        _body()
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        lse = jnp.where(
+            l[:, 0] == 0.0, NEG_INF, m_scr[:, 0] + jnp.log(l_safe[:, 0])
+        )
+        lse_ref[0, 0] = lse
+
+
+def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
+    """Padded-shape forward. q (B,H,Lp,Ep), k/v (B,H,Sp,Ep), bias (b,h,Lp,Sp)."""
+    batch, heads, q_len_p, d = q.shape
+    kv_len_p = k.shape[2]
+    nq = q_len_p // cfg.block_q
+    nk = kv_len_p // cfg.block_k
+
+    kernel = functools.partial(_fwd_kernel, cfg, nk)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
+    ]
+    args = [q, k, v]
+    if cfg.has_bias:
+        bb = 0 if bias.shape[0] == 1 else None
+        bh = 0 if bias.shape[1] == 1 else None
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, cfg.block_q, cfg.block_k),
+                lambda b, h, iq, ik, bb=bb, bh=bh: (
+                    bb if bb is not None else b,
+                    bh if bh is not None else h,
+                    iq,
+                    ik,
+                ),
+            )
+        )
+        args.append(bias)
+    if cfg.has_alibi:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, iq, ik: (0, h, 0, 0))
+        )
+        args.append(alibi_slopes.reshape(1, heads, 1, 1))
+
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((batch, heads, q_len_p), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, iq, ik: (b, h, iq)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((cfg.block_q, LANES), jnp.float32),  # running max m
+        pltpu.VMEM((cfg.block_q, LANES), jnp.float32),  # running sum l
+        pltpu.VMEM((cfg.block_q, d), jnp.float32),  # output accumulator
+    ]
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(batch, heads, nq, nk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * q_len_p * kv_len_p * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=batch * heads * q_len_p * kv_len_p,
+        ),
+        interpret=cfg.interpret,
+    )(*args)
+    return o, lse
+
+
+# ----------------------------------------------------------------------------
+# Backward
+# ----------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
+    if cfg.has_bias and cfg.has_alibi:
+        (q_ref, k_ref, v_ref, b_ref, a_ref, do_ref, lse_ref, dl_ref,
+         dq_ref, dq_scr) = refs
+    elif cfg.has_bias:
+        q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
+        a_ref = None
+    elif cfg.has_alibi:
+        q_ref, k_ref, v_ref, a_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
+        b_ref = None
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
+        b_ref = a_ref = None
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].reshape(cfg.block_q, 1)
+        delta = dl_ref[0, 0].reshape(cfg.block_q, 1)
+        bias = b_ref[0, 0] if b_ref is not None else None
+        slope = a_ref[0, 0] if a_ref is not None else None
+
+        s = _scores(cfg, q, k, bias, slope, iq, ik)
+        # p are exactly the softmax-N probabilities: exp(s - log(n + sum exp)).
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_scr[...] += cfg.scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if cfg.is_causal:
+        pl.when(_block_visible(cfg, iq, ik))(_body)
+    else:
+        _body()
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
+    if cfg.has_bias and cfg.has_alibi:
+        (q_ref, k_ref, v_ref, b_ref, a_ref, do_ref, lse_ref, dl_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    elif cfg.has_bias:
+        (q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        a_ref = None
+    elif cfg.has_alibi:
+        (q_ref, k_ref, v_ref, a_ref, do_ref, lse_ref, dl_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        b_ref = None
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        b_ref = a_ref = None
+
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].reshape(cfg.block_q, 1)
+        delta = dl_ref[0, 0].reshape(cfg.block_q, 1)
+        bias = b_ref[0, 0] if b_ref is not None else None
+        slope = a_ref[0, 0] if a_ref is not None else None
+
+        s = _scores(cfg, q, k, bias, slope, iq, ik)
+        p = jnp.exp(s - lse)
+        # dv += p^T @ do
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        # dk += scale * ds^T @ q
+        dk_scr[...] += cfg.scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if cfg.is_causal:
+        pl.when(_block_visible(cfg, iq, ik))(_body)
+    else:
+        _body()
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bias_spec(cfg: FlashConfig, bias, iq_of, ik_of):
+    bb = 0 if bias.shape[0] == 1 else None
+    bh = 0 if bias.shape[1] == 1 else None
+
+    def index_map(b, h, i2, i3, bb=bb, bh=bh):
+        return (
+            bb if bb is not None else b,
+            bh if bh is not None else h,
+            iq_of(i2, i3),
+            ik_of(i2, i3),
+        )
+
+    return pl.BlockSpec((1, 1, cfg.block_q, cfg.block_k), index_map)
+
+
+def _bwd(cfg: FlashConfig, residuals, do):
+    q, k, v, bias, alibi_slopes, o, lse = residuals
+    batch, heads, q_len_p, d = q.shape
+    kv_len_p = k.shape[2]
+    nq = q_len_p // cfg.block_q
+    nk = kv_len_p // cfg.block_k
+
+    do = do.astype(q.dtype)
+    # delta = rowsum(do * o) — cheap, fused by XLA; (B, H, Lp).
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    q_spec_q = pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq, ik: (b, h, iq, 0))
+    k_spec_q = pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, iq, ik: (b, h, ik, 0))
+    row_spec_q = pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, iq, ik: (b, h, iq))
+
+    # ---- dq ----
+    in_specs = [q_spec_q, k_spec_q, k_spec_q]
+    args = [q, k, v]
+    if cfg.has_bias:
+        in_specs.append(_bias_spec(cfg, bias, lambda iq, ik: iq, lambda iq, ik: ik))
+        args.append(bias)
+    if cfg.has_alibi:
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, h, iq, ik: (0, h, 0, 0)))
+        args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    in_specs += [q_spec_q, row_spec_q, row_spec_q]
+    args += [do, lse, delta]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, cfg, nk),
+        grid=(batch, heads, nq, nk),
+        in_specs=in_specs,
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((cfg.block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(*args)
+
+    # ---- dk, dv ---- (kv blocks outer, q blocks inner)
+    q_spec_kv = pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, ik, iq: (b, h, iq, 0))
+    k_spec_kv = pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, ik, iq: (b, h, ik, 0))
+    row_spec_kv = pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, ik, iq: (b, h, iq))
+
+    in_specs = [q_spec_kv, k_spec_kv, k_spec_kv]
+    args = [q, k, v]
+    if cfg.has_bias:
+        in_specs.append(_bias_spec(cfg, bias, lambda ik, iq: iq, lambda ik, iq: ik))
+        args.append(bias)
+    if cfg.has_alibi:
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, h, ik, iq: (0, h, 0, 0)))
+        args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    in_specs += [q_spec_kv, row_spec_kv, row_spec_kv]
+    args += [do, lse, delta]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, cfg, nq),
+        grid=(batch, heads, nk, nq),
+        in_specs=in_specs,
+        out_specs=[k_spec_kv, k_spec_kv],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cfg.block_k, d), jnp.float32),
+            pltpu.VMEM((cfg.block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(*args)
+
+    return dq, dk, dv
+
+
+# ----------------------------------------------------------------------------
+# custom_vjp binding (replaces torch.autograd.Function,
+# reference flash_attn_triton.py:241-336)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
+    o, _ = _fwd(cfg, q, k, v, bias, alibi_slopes)
+    return o
+
+
+def _flash_fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
+    o, lse = _fwd(cfg, q, k, v, bias, alibi_slopes)
+    return o, (q, k, v, bias, alibi_slopes, o, lse)
+
+
+def _flash_bwd(cfg: FlashConfig, residuals, do):
+    dq, dk, dv = _bwd(cfg, residuals, do)
+    # bias / alibi_slopes are treated as non-differentiable (the reference
+    # test surface only exercises q/k/v grads; dbias lands in a later round).
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_n_fused(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    *,
+    softmax_n_param: float = 0.0,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    is_causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused softmax-N flash attention on (B, H, L, E)/(B, H, S, E) inputs.
+
+    Handles padding of L/S/E to block multiples internally (padded keys are
+    masked in-kernel against the true ``kv_len``; padded queries/channels are
+    sliced away — their zero cotangents make the backward exact).
+
+    ``bias`` is an additive float bias broadcastable as (B|1, H|1, L, S).
+    ``alibi_slopes`` is a per-head (H,) slope vector applied in-kernel.
+    """
+    if query.ndim != 4 or key.ndim != 4 or value.ndim != 4:
+        raise ValueError("flash_attention_n_fused expects (B, H, L, E) tensors")
+    if key.shape[-1] != query.shape[-1]:
+        raise ValueError("query/key head dims must match")
+    if value.shape[-1] != key.shape[-1]:
+        raise ValueError("fused kernel requires E == Ev (use the XLA path otherwise)")
+
+    batch, heads, q_len, d = query.shape
+    kv_len = key.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_q = min(block_q, _round_up(q_len, 128))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    q_len_p = _round_up(q_len, block_q)
+    kv_len_p = _round_up(kv_len, block_k)
+    d_p = _round_up(d, 128)
+
+    cfg = FlashConfig(
+        n=float(softmax_n_param),
+        scale=float(scale),
+        is_causal=bool(is_causal),
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        has_bias=bias is not None,
+        has_alibi=alibi_slopes is not None,
+        interpret=bool(interpret),
+    )
+
+    qp = jnp.pad(query, ((0, 0), (0, 0), (0, q_len_p - q_len), (0, d_p - d)))
+    kp = jnp.pad(key, ((0, 0), (0, 0), (0, kv_len_p - kv_len), (0, d_p - d)))
+    vp = jnp.pad(value, ((0, 0), (0, 0), (0, kv_len_p - kv_len), (0, d_p - d)))
+    bp = None
+    if bias is not None:
+        if bias.ndim != 4:
+            raise ValueError("bias must be 4-D (B|1, H|1, L, S)")
+        bias = jnp.broadcast_to(
+            bias, (bias.shape[0], bias.shape[1], q_len, kv_len)
+        )
+        bp = jnp.pad(
+            bias,
+            ((0, 0), (0, 0), (0, q_len_p - q_len), (0, kv_len_p - kv_len)),
+        )
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.astype(jnp.float32).reshape(heads)
+
+    out = _flash(cfg, qp, kp, vp, bp, slopes)
+    return out[:, :, :q_len, :d]

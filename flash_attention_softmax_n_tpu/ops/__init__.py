@@ -1,0 +1,4 @@
+from flash_attention_softmax_n_tpu.ops.functional import slow_attention_n, softmax_n
+from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
+
+__all__ = ["softmax_n", "slow_attention_n", "flash_attention_n"]

@@ -1,0 +1,174 @@
+"""Public fused softmax-N attention API with TPU-aware dispatch.
+
+Re-designs the reference's primary API ``flash_attention_n``
+(reference: flash_attention_softmax_n/core/flash_attn.py:42-124). The
+reference tricks torch's softmax-0 SDPA kernel into computing integer-n
+softmax-N by zero-padding K/V with n rows; on TPU we own the kernel, so the
+``+n`` term is folded directly into the online-softmax statistics
+(kernels/flash_attention.py) and real-valued n is supported everywhere.
+
+Dispatch (replaces the reference's CUDA-arch sniffing ``_flash_attn_config``,
+flash_attn.py:17-35):
+
+  * ``implementation='pallas'`` — the fused Pallas kernel (TPU; interpreted
+    on CPU). No dropout; requires E == Ev.
+  * ``implementation='xla'``    — unfused jnp ops; XLA fuses them. Supports
+    dropout and E != Ev.
+  * ``implementation='auto'``   — pallas when eligible, else xla.
+
+Input handling mirrors the reference: 2-D/3-D/4-D tensors, 3-D K/V broadcast
+against 4-D Q (MQA-style shared KV, flash_attn.py:75-79), boolean masks
+(True = attend) or additive float biases, causal + mask merging (the
+reference bypasses SDPA's own is_causal because it is wrong for n > 0,
+flash_attn.py:96-98).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+    flash_attention_n_fused,
+)
+from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+
+__all__ = ["flash_attention_n"]
+
+
+def _to_4d(x: jax.Array, name: str) -> tuple[jax.Array, int]:
+    """Normalize to (B, H, L, E); returns (array, ndim_added)."""
+    if x.ndim == 4:
+        return x, 0
+    if x.ndim == 3:
+        return x[:, None], 1
+    if x.ndim == 2:
+        return x[None, None], 2
+    raise ValueError(f"{name} must be 2-D, 3-D, or 4-D, got {x.ndim}-D")
+
+
+def _mask_to_bias(attn_mask: jax.Array, dtype) -> jax.Array:
+    """Boolean attend-mask → additive bias (True = attend, False = -big)."""
+    # Same fill value family as the reference (-finfo.max // 2,
+    # flash_attn.py:105-111): large enough to zero the probability, small
+    # enough to avoid inf arithmetic inside the kernel.
+    big_neg = jnp.asarray(-float(jnp.finfo(jnp.float32).max) / 2, jnp.float32)
+    return jnp.where(attn_mask, jnp.zeros((), jnp.float32), big_neg)
+
+
+def _bias_to_4d(b: jax.Array, L: int, S: int) -> jax.Array:
+    if b.ndim == 2:
+        b = b[None, None]
+    elif b.ndim == 3:
+        b = b[:, None]
+    elif b.ndim != 4:
+        raise ValueError("attention mask/bias must be 2-D, 3-D, or 4-D")
+    if b.shape[-2] not in (1, L) or b.shape[-1] not in (1, S):
+        raise ValueError(
+            f"mask/bias trailing dims {b.shape[-2:]} incompatible with (L={L}, S={S})"
+        )
+    if b.shape[-2] == 1 or b.shape[-1] == 1:
+        b = jnp.broadcast_to(b, (*b.shape[:-2], L, S))
+    return b
+
+
+def flash_attention_n(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    softmax_n_param: Optional[float] = None,
+    scale: Optional[float] = None,
+    dropout_p: float = 0.0,
+    attn_mask: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
+    is_causal: bool = False,
+    *,
+    train: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    implementation: str = "auto",
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jax.Array:
+    """Fused scaled-dot-product attention with softmax-N.
+
+    Signature parity with the reference ``flash_attention_n``
+    (flash_attn.py:42-52): ``attn_mask`` is boolean (True = attend),
+    ``attn_bias`` is an additive float bias (e.g. ALiBi); both may combine
+    with ``is_causal``. Unlike the reference, ``softmax_n_param`` may be any
+    real value >= 0 on every path (the reference's SDPA path needs integer n).
+    """
+    n = 0.0 if softmax_n_param is None else float(softmax_n_param)
+    if n < 0:
+        raise ValueError(f"softmax_n_param must be >= 0, got {n}")
+
+    q4, added = _to_4d(query, "query")
+    k4, _ = _to_4d(key, "key")
+    v4, _ = _to_4d(value, "value")
+
+    # MQA-style broadcast: 3-D K/V against 4-D Q shares KV across heads
+    # (reference flash_attn.py:75-79).
+    if key.ndim == 3 and query.ndim == 4:
+        k4 = jnp.broadcast_to(key[:, None], (*key.shape[:1], q4.shape[1], *key.shape[1:]))
+        v4 = jnp.broadcast_to(value[:, None], (*value.shape[:1], q4.shape[1], *value.shape[1:]))
+
+    L, S = q4.shape[-2], k4.shape[-2]
+    E, Ev = q4.shape[-1], v4.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(E)
+
+    bias = None
+    if attn_mask is not None:
+        if attn_mask.dtype != jnp.bool_:
+            raise ValueError("attn_mask must be boolean (True = attend); "
+                             "use attn_bias for additive float biases")
+        bias = _bias_to_4d(_mask_to_bias(attn_mask, q4.dtype), L, S)
+    if attn_bias is not None:
+        b4 = _bias_to_4d(attn_bias.astype(jnp.float32), L, S)
+        bias = b4 if bias is None else bias + b4
+
+    use_dropout = dropout_p > 0.0 and train
+    can_pallas = (E == Ev) and not use_dropout
+    if implementation == "auto":
+        implementation = "pallas" if can_pallas else "xla"
+    if implementation == "pallas" and not can_pallas:
+        raise ValueError(
+            "pallas path requires E == Ev and no dropout; use implementation='xla'"
+        )
+
+    if implementation == "pallas":
+        out = flash_attention_n_fused(
+            q4, k4, v4,
+            softmax_n_param=n,
+            scale=scale,
+            bias=bias,
+            is_causal=is_causal,
+            block_q=block_q,
+            block_k=block_k,
+        )
+    elif implementation == "xla":
+        scores = jnp.einsum(
+            "bhle,bhse->bhls", q4, k4, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        if bias is not None:
+            scores = scores + bias
+        if is_causal:
+            causal = jnp.tril(jnp.ones((L, S), dtype=bool), k=S - L)
+            scores = jnp.where(causal, scores, -jnp.inf)
+        probs = softmax_n(scores, n=n, axis=-1)
+        if use_dropout:
+            if dropout_rng is None:
+                raise ValueError("dropout requires dropout_rng")
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_p), 0.0)
+        out = jnp.einsum("bhls,bhsv->bhlv", probs.astype(q4.dtype), v4)
+    else:
+        raise ValueError(f"unknown implementation {implementation!r}")
+
+    if added == 1:
+        out = out[:, 0]
+    elif added == 2:
+        out = out[0, 0]
+    return out
