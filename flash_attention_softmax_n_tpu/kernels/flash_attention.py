@@ -188,10 +188,10 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         l = l_scr[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
-        lse = jnp.where(
-            l[:, 0] == 0.0, NEG_INF, m_scr[:, 0] + jnp.log(l_safe[:, 0])
-        )
-        lse_ref[0, 0] = lse
+        # lse = log(n + sum_j exp(s_j)) — the softmax-N normalizer; the lone
+        # residual the backward needs (cf. reference flash_attn_triton.py:116).
+        lse = jnp.where(l == 0.0, NEG_INF, m_scr[...] + jnp.log(l_safe))
+        lse_ref[0, 0] = lse[:, :1]
 
 
 def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
@@ -232,11 +232,13 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
 
     out_shape = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((batch, heads, q_len_p), jnp.float32),
+        # (B, H, Lp, 1): TPU-tileable residual without the 128-lane
+        # replication the in-tree kernel pays for.
+        jax.ShapeDtypeStruct((batch, heads, q_len_p, 1), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, iq, ik: (b, h, iq)),
+        pl.BlockSpec((1, 1, cfg.block_q, 1), lambda b, h, iq, ik: (b, h, iq, 0)),
     ]
     scratch_shapes = [
         pltpu.VMEM((cfg.block_q, LANES), jnp.float32),  # running max m
@@ -295,8 +297,8 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(cfg.block_q, 1)
-        delta = dl_ref[0, 0].reshape(cfg.block_q, 1)
+        lse = lse_ref[0, 0]  # (block_q, 1)
+        delta = dl_ref[0, 0]  # (block_q, 1)
         bias = b_ref[0, 0] if b_ref is not None else None
         slope = a_ref[0, 0] if a_ref is not None else None
 
@@ -353,8 +355,8 @@ def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(cfg.block_q, 1)
-        delta = dl_ref[0, 0].reshape(cfg.block_q, 1)
+        lse = lse_ref[0, 0]  # (block_q, 1)
+        delta = dl_ref[0, 0]  # (block_q, 1)
         bias = b_ref[0, 0] if b_ref is not None else None
         slope = a_ref[0, 0] if a_ref is not None else None
 
@@ -410,12 +412,16 @@ def _bwd(cfg: FlashConfig, residuals, do):
     nk = kv_len_p // cfg.block_k
 
     do = do.astype(q.dtype)
-    # delta = rowsum(do * o) — cheap, fused by XLA; (B, H, Lp).
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # delta = rowsum(do * o) — cheap, fused by XLA; (B, H, Lp, 1)
+    # (the reference runs a dedicated _bwd_preprocess kernel for this,
+    # flash_attn_triton.py:130-143; XLA fuses it for free on TPU).
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
 
     q_spec_q = pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq, ik: (b, h, iq, 0))
     k_spec_q = pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, iq, ik: (b, h, ik, 0))
-    row_spec_q = pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, iq, ik: (b, h, iq))
+    row_spec_q = pl.BlockSpec((1, 1, cfg.block_q, 1), lambda b, h, iq, ik: (b, h, iq, 0))
 
     # ---- dq ----
     in_specs = [q_spec_q, k_spec_q, k_spec_q]
@@ -445,7 +451,7 @@ def _bwd(cfg: FlashConfig, residuals, do):
     # ---- dk, dv ---- (kv blocks outer, q blocks inner)
     q_spec_kv = pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, ik, iq: (b, h, iq, 0))
     k_spec_kv = pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, ik, iq: (b, h, ik, 0))
-    row_spec_kv = pl.BlockSpec((1, 1, cfg.block_q), lambda b, h, ik, iq: (b, h, iq))
+    row_spec_kv = pl.BlockSpec((1, 1, cfg.block_q, 1), lambda b, h, ik, iq: (b, h, iq, 0))
 
     in_specs = [q_spec_kv, k_spec_kv, k_spec_kv]
     args = [q, k, v]
