@@ -81,8 +81,8 @@ class FlashConfig:
     is_causal: bool = False
     q_len: int = 0  # actual (pre-padding) query length
     kv_len: int = 0  # actual (pre-padding) key/value length
-    block_q: int = 128
-    block_k: int = 128
+    block_q: int = 512
+    block_k: int = 1024
     has_bias: bool = False
     has_alibi: bool = False
     interpret: bool = False
@@ -102,28 +102,60 @@ def _block_visible(cfg: FlashConfig, iq, ik):
 
 
 def _scores(cfg: FlashConfig, q, k, bias, alibi_slope, iq, ik):
-    """f32 (block_q, block_k) masked scores for the current tile."""
+    """f32 (block_q, block_k) masked scores for the current tile.
+
+    The scale is pre-folded into q by the caller (one multiply on (L, E)
+    instead of (L, S) per step — the same folding the reference applies,
+    flash_attn.py:81-83). Masking work is skipped at runtime for interior
+    tiles: a tile needs the mask only if it straddles the causal diagonal or
+    contains key padding, which a scalar predicate decides per grid step.
+    """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * cfg.scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
-    q_pos = iq * cfg.block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (cfg.block_q, cfg.block_k), 0
-    )
-    k_pos = ik * cfg.block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (cfg.block_q, cfg.block_k), 1
-    )
-    if alibi_slope is not None:
+
+    need_alibi = alibi_slope is not None
+    k_padded = cfg.kv_len % cfg.block_k != 0
+
+    def pos():
+        q_pos = iq * cfg.block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (cfg.block_q, cfg.block_k), 0
+        )
+        k_pos = ik * cfg.block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (cfg.block_q, cfg.block_k), 1
+        )
+        return q_pos, k_pos
+
+    if need_alibi:
+        q_pos, k_pos = pos()
         # ALiBi: slope * -(distance); distance measured with the rectangular
         # offset so the last key aligns with the last query.
         dist = (q_pos + _causal_offset(cfg) - k_pos).astype(jnp.float32)
         s = s - alibi_slope * jnp.abs(dist)
-    mask = k_pos < cfg.kv_len
+
+    if not cfg.is_causal and not k_padded:
+        return s
+
+    def masked(s):
+        q_pos, k_pos = pos()
+        mask = k_pos < cfg.kv_len
+        if cfg.is_causal:
+            mask = jnp.logical_and(mask, k_pos <= q_pos + _causal_offset(cfg))
+        return jnp.where(mask, s, NEG_INF)
+
+    # Scalar predicate: does this tile straddle the diagonal / padded tail?
+    need = jnp.bool_(False)
     if cfg.is_causal:
-        mask = jnp.logical_and(mask, k_pos <= q_pos + _causal_offset(cfg))
-    return jnp.where(mask, s, NEG_INF)
+        # tile is NOT fully visible if its last key can exceed its first
+        # query's causal bound
+        k_max = ik * cfg.block_k + cfg.block_k - 1
+        q_min = iq * cfg.block_q
+        need = jnp.logical_or(need, k_max > q_min + _causal_offset(cfg))
+    if k_padded:
+        need = jnp.logical_or(need, ik == cfg.kv_len // cfg.block_k)
+    return jax.lax.cond(need, masked, lambda s: s, s)
 
 
 # ----------------------------------------------------------------------------
@@ -196,6 +228,7 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
 
 def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
     """Padded-shape forward. q (B,H,Lp,Ep), k/v (B,H,Sp,Ep), bias (b,h,Lp,Sp)."""
+    q = q * jnp.asarray(cfg.scale, q.dtype)  # fold scale once on (L, E)
     batch, heads, q_len_p, d = q.shape
     kv_len_p = k.shape[2]
     nq = q_len_p // cfg.block_q
@@ -310,7 +343,7 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
-        dq_scr[...] += cfg.scale * jax.lax.dot_general(
+        dq_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -322,7 +355,9 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
 
     @pl.when(ik == num_kv_blocks - 1)
     def _epilogue():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        # scale applied once per q block (q fed to this kernel is pre-scaled,
+        # which already accounts for dk; dq needs the explicit factor).
+        dq_ref[0, 0] = (cfg.scale * dq_scr[...]).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
@@ -372,8 +407,8 @@ def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
-        # dk += scale * ds^T @ q
-        dk_scr[...] += cfg.scale * jax.lax.dot_general(
+        # dk += ds^T @ (scale * q) — q arrives pre-scaled, so no extra factor
+        dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -406,6 +441,7 @@ def _bias_spec(cfg: FlashConfig, bias, iq_of, ik_of):
 
 def _bwd(cfg: FlashConfig, residuals, do):
     q, k, v, bias, alibi_slopes, o, lse = residuals
+    q = q * jnp.asarray(cfg.scale, q.dtype)  # same fold as forward
     batch, heads, q_len_p, d = q.shape
     kv_len_p = k.shape[2]
     nq = q_len_p // cfg.block_q
@@ -523,8 +559,8 @@ def flash_attention_n_fused(
     bias: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     is_causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused softmax-N flash attention on (B, H, L, E)/(B, H, S, E) inputs.
