@@ -1,0 +1,308 @@
+"""Llama-style decoder with softmax-N attention — the flagship model.
+
+Net-new capability relative to the reference (which only *patches* HF
+models, surgery/surgery_functions/_bert.py): a first-party TPU-native
+decoder designed for the softmax-N quantized-inference north star:
+
+  * explicit parameter pytree with **stacked layer weights** scanned via
+    ``lax.scan`` (one compiled layer body regardless of depth — fast compile,
+    pjit-friendly);
+  * prefill through the fused Pallas flash-attention-N kernel (causal);
+  * KV-cache decode with the ``+n`` denominator term applied per step (each
+    decode step's softmax denominator includes +n — the invariant SURVEY §7
+    step 5 calls out);
+  * GQA/MQA via ``n_kv_heads``;
+  * activation taps for the analysis subsystem (tap names follow the
+    reference's ``'attention.output'`` convention, hooks.py:55-56).
+
+HF-Llama weight layout compatibility is provided by
+``surgery.convert.llama_params_from_hf``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_softmax_n_tpu.models.layers import (
+    apply_rope,
+    rms_norm,
+    rope_frequencies,
+)
+from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
+from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+
+__all__ = ["DecoderConfig", "init_decoder_params", "decoder_forward",
+           "prefill", "decode_step", "greedy_generate", "init_kv_cache"]
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    d_model: int = 2048
+    n_layers: int = 16
+    n_heads: int = 16
+    n_kv_heads: int = 16
+    d_ff: int = 5632
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    softmax_n: float = 1.0
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    # kernel selection: 'pallas' on TPU, 'xla' exact fallback
+    attn_implementation: str = "auto"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def init_decoder_params(cfg: DecoderConfig, rng: jax.Array) -> Dict:
+    """Random-init parameter pytree (layer weights stacked on axis 0)."""
+    d, hd = cfg.d_model, cfg.head_dim
+    nl, h, kvh, f = cfg.n_layers, cfg.n_heads, cfg.n_kv_heads, cfg.d_ff
+    keys = jax.random.split(rng, 10)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(cfg.dtype)
+
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),
+        "layers": {
+            "attn_norm": jnp.ones((nl, d), cfg.dtype),
+            "wq": dense(keys[1], (nl, d, h * hd), d),
+            "wk": dense(keys[2], (nl, d, kvh * hd), d),
+            "wv": dense(keys[3], (nl, d, kvh * hd), d),
+            "wo": dense(keys[4], (nl, h * hd, d), h * hd),
+            "mlp_norm": jnp.ones((nl, d), cfg.dtype),
+            "w_gate": dense(keys[5], (nl, d, f), d),
+            "w_up": dense(keys[6], (nl, d, f), d),
+            "w_down": dense(keys[7], (nl, f, d), f),
+        },
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": dense(keys[8], (d, cfg.vocab_size), d),
+    }
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, l, _ = x.shape
+    return x.reshape(b, l, n_heads, -1).transpose(0, 2, 1, 3)  # (B,H,L,hd)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    b, kvh, l, hd = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None], (b, kvh, n_rep, l, hd)
+    ).reshape(b, kvh * n_rep, l, hd)
+
+
+def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
+    """One transformer block. ``attn_fn(q, k, v) -> ctx`` closes over cache/mask."""
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+    q = _split_heads(h @ lp["wq"], cfg.n_heads)
+    k = _split_heads(h @ lp["wk"], cfg.n_kv_heads)
+    v = _split_heads(h @ lp["wv"], cfg.n_kv_heads)
+    ctx, extras = attn_fn(q, k, v)
+    attn_out = _merge_heads(ctx) @ lp["wo"]
+    x = x + attn_out
+    h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
+    mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+    x = x + mlp
+    return x, attn_out, extras
+
+
+def decoder_forward(
+    params: Dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,
+    *,
+    collect_taps: bool = False,
+) -> Any:
+    """Full-sequence causal forward: tokens (B, L) -> logits (B, L, V).
+
+    With ``collect_taps=True`` returns (logits, taps) where taps maps
+    'layers.{i}.attention.output' -> (B, L, D) for the analysis collector.
+    """
+    b, l = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    positions = jnp.arange(l)
+
+    def attn(q, k, v):
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+        k = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
+        v = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
+        ctx = flash_attention_n(
+            q, k, v,
+            softmax_n_param=cfg.softmax_n,
+            is_causal=True,
+            implementation=cfg.attn_implementation,
+        )
+        return ctx, None
+
+    def body(x, lp):
+        x, attn_out, _ = _layer(cfg, (cos, sin), x, lp, attn)
+        return x, attn_out if collect_taps else 0
+
+    x, tap_stack = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+
+    if collect_taps:
+        taps = {f"layers.{i}.attention.output": tap_stack[i]
+                for i in range(cfg.n_layers)}
+        return logits, taps
+    return logits
+
+
+# ----------------------------------------------------------------------------
+# KV-cache inference
+# ----------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: Optional[int] = None,
+                  dtype: Optional[Any] = None) -> Dict:
+    """Preallocated static-shape KV cache: (n_layers, B, KVH, S, hd)."""
+    s = max_len or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
+    dt = dtype or cfg.dtype
+    return {
+        "k": jnp.zeros(shape, dt),
+        "v": jnp.zeros(shape, dt),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+            cache: Dict) -> Tuple[jax.Array, Dict]:
+    """Process the prompt (B, L), fill the cache, return last-token logits."""
+    b, l = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    positions = jnp.arange(l)
+
+    def body(carry, layer_in):
+        x = carry
+        lp, layer_idx = layer_in
+
+        new_kv = {}
+
+        def attn(q, k, v):
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+            new_kv["k"], new_kv["v"] = k, v
+            kf = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
+            vf = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
+            ctx = flash_attention_n(
+                q, kf, vf,
+                softmax_n_param=cfg.softmax_n,
+                is_causal=True,
+                implementation=cfg.attn_implementation,
+            )
+            return ctx, None
+
+        x, _, _ = _layer(cfg, (cos, sin), x, lp, attn)
+        return x, (new_kv["k"], new_kv["v"])
+
+    layer_ids = jnp.arange(cfg.n_layers)
+    x, (k_stack, v_stack) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+
+    cache = dict(cache)
+    cache["k"] = jax.lax.dynamic_update_slice(
+        cache["k"], k_stack.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
+    cache["v"] = jax.lax.dynamic_update_slice(
+        cache["v"], v_stack.astype(cache["v"].dtype), (0, 0, 0, 0, 0))
+    cache["length"] = jnp.asarray(l, jnp.int32)
+
+    x = rms_norm(x[:, -1:], params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits[:, 0], cache
+
+
+def _cached_attention(cfg: DecoderConfig, q, k_cache, v_cache, length):
+    """Single-step attention against the padded cache with softmax-N.
+
+    q (B, H, 1, hd); k/v_cache (B, KVH, S, hd); valid keys are [0, length).
+    The +n term rides the softmax_n denominator — masked (padded) positions
+    contribute exp(NEG_INF) = 0.
+    """
+    kf = _repeat_kv(k_cache, cfg.n_heads // cfg.n_kv_heads)
+    vf = _repeat_kv(v_cache, cfg.n_heads // cfg.n_kv_heads)
+    scores = jnp.einsum("bhle,bhse->bhls", q, kf,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (cfg.head_dim ** -0.5)
+    s = kf.shape[2]
+    valid = jnp.arange(s)[None, None, None, :] < length
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = softmax_n(scores, n=cfg.softmax_n, axis=-1)
+    return jnp.einsum("bhls,bhsv->bhlv", probs.astype(vf.dtype), vf)
+
+
+def decode_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
+                cache: Dict) -> Tuple[jax.Array, Dict]:
+    """One greedy-decode step: token (B,) int32 -> (logits (B, V), cache')."""
+    b = token.shape[0]
+    x = params["embed"][token][:, None].astype(cfg.dtype)  # (B, 1, D)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    pos = cache["length"]
+    positions = jnp.full((b, 1), pos, jnp.int32)
+
+    def body(x, layer_in):
+        lp, k_cache, v_cache = layer_in
+
+        def attn(q, k, v):
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+            k_new = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
+            v_new = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+            ctx = _cached_attention(cfg, q, k_new, v_new, pos + 1)
+            return ctx.astype(x.dtype), (k_new, v_new)
+
+        x, _, (k_new, v_new) = _layer(cfg, (cos, sin), x, lp, attn)
+        return x, (k_new, v_new)
+
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"]))
+
+    cache = dict(cache)
+    cache["k"], cache["v"] = k_stack, v_stack
+    cache["length"] = pos + 1
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits[:, 0], cache
+
+
+def greedy_generate(params: Dict, cfg: DecoderConfig, prompt: jax.Array,
+                    max_new_tokens: int) -> jax.Array:
+    """Greedy decoding: prompt (B, L) -> generated tokens (B, max_new_tokens)."""
+    b, l = prompt.shape
+    cache = init_kv_cache(cfg, b, max_len=l + max_new_tokens)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        token, cache = carry
+        logits, cache = decode_step(params, cfg, token, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), token
+
+    (_, _), tokens = jax.lax.scan(step, (first, cache), None,
+                                  length=max_new_tokens)
+    return tokens.T  # (B, max_new_tokens)

@@ -1,0 +1,149 @@
+"""Apply softmax-N surgery to model checkpoints (config, params).
+
+Re-designs the reference's ``apply_attention_softmax_n`` /
+``AttentionSoftmaxN`` (surgery/attention_softmax_n.py:19-108). The reference
+walks a live torch module tree and rebinds forward methods; here surgery is
+a **pure rewrite of (config, params)** dispatched through the policy
+registry — functionally identical (every attention softmax becomes
+softmax-N), but idempotent, serializable, and recorded in checkpoint
+metadata instead of needing re-application at load
+(the reference's ``required_on_load()=True``, attention_softmax_n.py:93-95,
+exists precisely because monkey-patching is not persistent; a rewritten
+checkpoint IS persistent, so ``required_on_load`` is vacuously satisfied).
+
+Also provides ``from_pretrained_hf``: the one-call migration path for users
+of the reference — HF torch model in, softmax-N (config, params) out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Optional, Tuple
+
+from flash_attention_softmax_n_tpu.models.bert import BertConfig
+from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig
+from flash_attention_softmax_n_tpu.surgery.registry import policy_registry
+
+log = logging.getLogger(__name__)
+
+__all__ = [
+    "apply_attention_softmax_n",
+    "AttentionSoftmaxN",
+    "from_pretrained_hf",
+]
+
+
+# ----------------------------------------------------------------------------
+# Built-in converters (reference _bert.py:14-21, _xlnet.py:11-22 equivalents).
+# Because our models read softmax_n from config, the rewrite is a config
+# update; validation (n >= 0, _xlnet.py:17-18) is enforced centrally.
+# ----------------------------------------------------------------------------
+
+
+@policy_registry.register(BertConfig, "bert", "roberta")
+def bert_attention_converter(config, params, softmax_n_param: float):
+    """BERT/RoBERTa: set attention softmax-N (replaces forward rebinding,
+    reference _bert.py:19-21)."""
+    return dataclasses.replace(config, softmax_n=softmax_n_param), params
+
+
+@policy_registry.register(DecoderConfig, "llama", "mistral", "gpt")
+def decoder_attention_converter(config, params, softmax_n_param: float):
+    """Llama/GPT-style decoders: set attention softmax-N."""
+    return dataclasses.replace(config, softmax_n=softmax_n_param), params
+
+
+def apply_attention_softmax_n(
+    model: Tuple[object, Dict],
+    softmax_n_param: Optional[float] = None,
+) -> Tuple[object, Dict]:
+    """Rewrite (config, params) so every attention uses softmax-N.
+
+    Signature parity with the reference (attention_softmax_n.py:19-23) minus
+    the torch ``optimizers`` argument (pure pytrees need no optimizer
+    param-rebinding — optimizer states reference params by pytree position,
+    which a config rewrite never changes).
+
+    Logs a warning listing supported architectures if nothing was rewritten
+    (reference attention_softmax_n.py:58-61).
+    """
+    if softmax_n_param is None:
+        raise ValueError("softmax_n_param is required")
+    if softmax_n_param < 0:
+        raise ValueError(f"softmax_n_param must be >= 0, got {softmax_n_param}")
+
+    config, params = model
+    fn = policy_registry.lookup(config)
+    if fn is None:
+        log.warning(
+            "No softmax-N rewrite applied: architecture %r is not registered. "
+            "Supported: %s", type(config).__name__,
+            sorted(str(k) for k in policy_registry),
+        )
+        return config, params
+    new_config, new_params = fn(config, params, float(softmax_n_param))
+    log.info("Applied softmax-N (n=%s) surgery to %s", softmax_n_param,
+             type(config).__name__)
+    return new_config, new_params
+
+
+@dataclasses.dataclass
+class AttentionSoftmaxN:
+    """Algorithm-object form for trainer/engine integration.
+
+    Mirrors the reference's composer Algorithm
+    (attention_softmax_n.py:66-108): fires once at the 'init' event and
+    rewrites the state's (config, params). ``required_on_load`` is True for
+    API familiarity, and the rewrite is idempotent, so re-applying on
+    checkpoint load is always safe.
+    """
+
+    softmax_n_param: float = 0.0
+
+    def required_on_load(self) -> bool:
+        return True
+
+    def match(self, event: str, state) -> bool:
+        return event == "init"
+
+    def apply(self, event: str, state, logger=None) -> None:
+        state.config, state.params = apply_attention_softmax_n(
+            (state.config, state.params), self.softmax_n_param
+        )
+
+
+def from_pretrained_hf(hf_model, softmax_n_param: float = 0.0,
+                       dtype=None) -> Tuple[object, Dict]:
+    """One-call migration from a pretrained HF torch model.
+
+    Detects the architecture from the HF config's ``model_type``, converts
+    weights to this framework's pytree layout, and applies softmax-N surgery.
+    This replaces the reference workflow
+    ``AutoModel.from_pretrained(...); apply_attention_softmax_n(model, n)``
+    (reference README.md:170-176).
+    """
+    import jax.numpy as jnp
+
+    from flash_attention_softmax_n_tpu.surgery.convert import (
+        bert_config_from_hf,
+        bert_params_from_hf,
+        llama_config_from_hf,
+        llama_params_from_hf,
+    )
+
+    model_type = getattr(hf_model.config, "model_type", None)
+    if model_type in ("bert", "roberta"):
+        cfg = bert_config_from_hf(hf_model.config,
+                                  dtype=dtype or jnp.float32)
+        params = bert_params_from_hf(hf_model, cfg)
+    elif model_type in ("llama", "mistral"):
+        cfg = llama_config_from_hf(hf_model.config,
+                                   dtype=dtype or jnp.bfloat16)
+        params = llama_params_from_hf(hf_model, cfg)
+    else:
+        raise ValueError(
+            f"unsupported HF model_type {model_type!r}; supported: bert, "
+            f"roberta, llama, mistral"
+        )
+    return apply_attention_softmax_n((cfg, params), softmax_n_param)

@@ -1,0 +1,186 @@
+"""HF checkpoint -> JAX pytree converters (the surgery substrate).
+
+The reference's surgery rewrites *live torch modules* of pretrained HF
+models (surgery/surgery_functions/_bert.py, _xlnet.py). The TPU-native
+equivalent rewrites *checkpoints*: these converters map HF torch state
+dicts into this framework's stacked-layer parameter pytrees, after which
+``apply_attention_softmax_n`` sets the softmax-N parameter in the config —
+the whole pipeline is pure data transformation, jit/pjit-friendly, and
+idempotent (SURVEY.md §5 checkpoint-rewrite design).
+
+Supported families: BERT/RoBERTa encoders and Llama-style decoders. Torch is
+used only to read tensors (CPU); nothing torch crosses into the compute path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attention_softmax_n_tpu.models.bert import BertConfig
+from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig
+
+__all__ = [
+    "bert_config_from_hf",
+    "bert_params_from_hf",
+    "llama_config_from_hf",
+    "llama_params_from_hf",
+]
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16): detach -> cpu -> float32 numpy
+    return t.detach().cpu().float().numpy()
+
+
+def _state_dict(model_or_sd) -> Dict[str, Any]:
+    if hasattr(model_or_sd, "state_dict"):
+        return model_or_sd.state_dict()
+    return dict(model_or_sd)
+
+
+def _strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    if any(k.startswith(prefix) for k in sd):
+        return {k[len(prefix):] if k.startswith(prefix) else k: v
+                for k, v in sd.items()}
+    return sd
+
+
+# ----------------------------------------------------------------------------
+# BERT / RoBERTa
+# ----------------------------------------------------------------------------
+
+
+def bert_config_from_hf(hf_config, softmax_n: float = 0.0,
+                        dtype=jnp.float32) -> BertConfig:
+    return BertConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        d_ff=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        type_vocab_size=hf_config.type_vocab_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        softmax_n=softmax_n,
+        dtype=dtype,
+    )
+
+
+def bert_params_from_hf(model_or_sd, cfg: BertConfig) -> Dict:
+    """HF BertModel/RobertaModel state dict -> stacked-layer pytree.
+
+    torch Linear weights are (out, in) and are transposed to (in, out) for
+    right-multiplication; per-layer tensors are stacked on axis 0 for scan.
+    """
+    sd = _state_dict(model_or_sd)
+    sd = _strip_prefix(sd, "bert.")
+    sd = _strip_prefix(sd, "roberta.")
+    g = lambda name: _to_numpy(sd[name])
+    dt = cfg.dtype
+
+    def stack(fmt: str, transpose: bool = False):
+        arrs = []
+        for i in range(cfg.n_layers):
+            a = g(fmt.format(i=i))
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs), dt)
+
+    prefix = "encoder.layer.{i}."
+    return {
+        "embeddings": {
+            "word": jnp.asarray(g("embeddings.word_embeddings.weight"), dt),
+            "position": jnp.asarray(g("embeddings.position_embeddings.weight"), dt),
+            "token_type": jnp.asarray(g("embeddings.token_type_embeddings.weight"), dt),
+            "ln_scale": jnp.asarray(g("embeddings.LayerNorm.weight"), dt),
+            "ln_bias": jnp.asarray(g("embeddings.LayerNorm.bias"), dt),
+        },
+        "layers": {
+            "q_w": stack(prefix + "attention.self.query.weight", transpose=True),
+            "q_b": stack(prefix + "attention.self.query.bias"),
+            "k_w": stack(prefix + "attention.self.key.weight", transpose=True),
+            "k_b": stack(prefix + "attention.self.key.bias"),
+            "v_w": stack(prefix + "attention.self.value.weight", transpose=True),
+            "v_b": stack(prefix + "attention.self.value.bias"),
+            "attn_out_w": stack(prefix + "attention.output.dense.weight", transpose=True),
+            "attn_out_b": stack(prefix + "attention.output.dense.bias"),
+            "attn_ln_scale": stack(prefix + "attention.output.LayerNorm.weight"),
+            "attn_ln_bias": stack(prefix + "attention.output.LayerNorm.bias"),
+            "inter_w": stack(prefix + "intermediate.dense.weight", transpose=True),
+            "inter_b": stack(prefix + "intermediate.dense.bias"),
+            "out_w": stack(prefix + "output.dense.weight", transpose=True),
+            "out_b": stack(prefix + "output.dense.bias"),
+            "out_ln_scale": stack(prefix + "output.LayerNorm.weight"),
+            "out_ln_bias": stack(prefix + "output.LayerNorm.bias"),
+        },
+        "pooler": {
+            "w": jnp.asarray(g("pooler.dense.weight").T, dt),
+            "b": jnp.asarray(g("pooler.dense.bias"), dt),
+        },
+    }
+
+
+# ----------------------------------------------------------------------------
+# Llama
+# ----------------------------------------------------------------------------
+
+
+def llama_config_from_hf(hf_config, softmax_n: float = 0.0,
+                         dtype=jnp.bfloat16) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads",
+                           hf_config.num_attention_heads),
+        d_ff=hf_config.intermediate_size,
+        max_seq_len=hf_config.max_position_embeddings,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        norm_eps=hf_config.rms_norm_eps,
+        softmax_n=softmax_n,
+        dtype=dtype,
+    )
+
+
+def llama_params_from_hf(model_or_sd, cfg: DecoderConfig) -> Dict:
+    """HF LlamaForCausalLM state dict -> stacked-layer pytree."""
+    sd = _state_dict(model_or_sd)
+    sd = _strip_prefix(sd, "model.")
+    g = lambda name: _to_numpy(sd[name])
+    dt = cfg.dtype
+
+    def stack(fmt: str, transpose: bool = False):
+        arrs = []
+        for i in range(cfg.n_layers):
+            a = g(fmt.format(i=i))
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs), dt)
+
+    embed = jnp.asarray(g("embed_tokens.weight"), dt)
+    if "lm_head.weight" in sd:
+        lm_head = jnp.asarray(g("lm_head.weight").T, dt)
+    else:  # tied embeddings
+        lm_head = embed.T
+
+    p = "layers.{i}."
+    return {
+        "embed": embed,
+        "layers": {
+            "attn_norm": stack(p + "input_layernorm.weight"),
+            "wq": stack(p + "self_attn.q_proj.weight", transpose=True),
+            "wk": stack(p + "self_attn.k_proj.weight", transpose=True),
+            "wv": stack(p + "self_attn.v_proj.weight", transpose=True),
+            "wo": stack(p + "self_attn.o_proj.weight", transpose=True),
+            "mlp_norm": stack(p + "post_attention_layernorm.weight"),
+            "w_gate": stack(p + "mlp.gate_proj.weight", transpose=True),
+            "w_up": stack(p + "mlp.up_proj.weight", transpose=True),
+            "w_down": stack(p + "mlp.down_proj.weight", transpose=True),
+        },
+        "final_norm": jnp.asarray(g("norm.weight"), dt),
+        "lm_head": lm_head,
+    }
