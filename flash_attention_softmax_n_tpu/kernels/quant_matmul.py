@@ -1,0 +1,150 @@
+"""Pallas fused dequant-matmul: bf16 activations x INT8/INT4 weights.
+
+The weight-only quantized matmul for decode: at generation time every weight
+matrix is read from HBM once per token, so halving (int8) or quartering
+(int4) the bytes moves the HBM-bandwidth bound directly. The dequant happens
+*inside* the kernel on VMEM tiles (int -> bf16 cast, then MXU matmul with
+f32 accumulation; per-output-channel scales applied in the epilogue —
+mathematically exact because scales are constant along the contraction
+axis).
+
+This is the TPU counterpart of the north star's "INT4/INT8 weight-only
+dequant fused into the matmul" (BASELINE.json) — capability the reference
+does not have (its native-code surface is borrowed torch SDPA/Triton,
+SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["quantized_matmul"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _qmm_kernel(bits: int, n_k_blocks: int, x_ref, w_ref, s_ref, o_ref, acc):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    w = w_ref[...]
+    if bits == 4:
+        # unpack nibbles along the contraction axis. Packing is grouped
+        # (quant.qtensor.INT4_GROUP = 256 original rows -> 128 bytes), so a
+        # tile covering whole groups unpacks locally: byte row i of group g
+        # holds original rows (256g + i, 256g + 128 + i).
+        bkp, bn = w.shape
+        wg = w.reshape(bkp // 128, 128, bn)
+        lo = jnp.right_shift(jnp.left_shift(wg, 4), 4)
+        hi = jnp.right_shift(wg, 4)
+        w = jnp.concatenate([lo, hi], axis=1).reshape(bkp * 2, bn)
+    wt = w.astype(x.dtype)
+    acc[...] += jax.lax.dot_general(
+        x, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ik == n_k_blocks - 1)
+    def _epilogue():
+        o_ref[...] = (acc[...] * s_ref[...].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+def quantized_matmul(
+    x: jax.Array,
+    w_values: jax.Array,
+    w_scales: jax.Array,
+    *,
+    bits: int = 8,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x (..., M, K) @ dequant(w) (K, N) -> (..., M, N).
+
+    ``w_values``: int8 (K, N), or int4 packed (K//2, N) with nibble pairs
+    along K (quant.pack_int4 layout). ``w_scales``: (1, N) or (N,)
+    per-output-channel scales.
+
+    int4 packing note: unpacking splits each byte into (lo, hi) nibbles that
+    interleave as K-halves, so the packed weight must be produced by
+    ``quantize(w, bits=4, axis=0)`` — the same layout this kernel unpacks.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = out_dtype or x.dtype
+
+    lead = x.shape[:-2]
+    m, k = x.shape[-2], x.shape[-1]
+    x2 = x.reshape(-1, k) if lead else x.reshape(m, k)
+    m_total = x2.shape[0]
+    kw = w_values.shape[0] * (2 if bits == 4 else 1)
+    n = w_values.shape[1]
+    if kw != k:
+        raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
+    if bits == 4:
+        if k % 256:
+            raise ValueError("int4 fused matmul requires K % 256 == 0 "
+                             "(grouped nibble packing)")
+        block_k = max(256, block_k - block_k % 256)
+    scales = w_scales.reshape(1, n)
+
+    block_m = min(block_m, _round_up(m_total, 8))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 256 if bits == 4 else 128))
+    mp = _round_up(m_total, block_m)
+    np_ = _round_up(n, block_n)
+    kp = _round_up(k, block_k)
+
+    xp = jnp.pad(x2, ((0, mp - m_total), (0, kp - k)))
+    wp = jnp.pad(
+        w_values,
+        ((0, (kp - k) // (2 if bits == 4 else 1)), (0, np_ - n)),
+    )
+    sp = jnp.pad(scales, ((0, 0), (0, np_ - n)))
+
+    grid = (mp // block_m, np_ // block_n, kp // block_k)
+    wk_block = block_k // 2 if bits == 4 else block_k
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, bits, grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((wk_block, block_n), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, ik: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ik: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=xp.size * 2 + wp.size + np_ * 4 + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, sp)
+
+    out = out[:m_total, :n]
+    return out.reshape(*lead, m, n) if lead else out

@@ -90,6 +90,25 @@ def init_decoder_params(cfg: DecoderConfig, rng: jax.Array) -> Dict:
     }
 
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul dispatching on weight type: dense array or quantized QTensor.
+
+    QTensor weights route to the fused Pallas dequant-matmul
+    (kernels/quant_matmul.py) for INT8/INT4; FP8 dequantizes inline (XLA
+    fuses the cast into the matmul).
+    """
+    from flash_attention_softmax_n_tpu.quant.qtensor import QTensor, dequantize
+
+    if isinstance(w, QTensor):
+        if w.bits == -8:
+            return x @ dequantize(w, x.dtype)
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul,
+        )
+        return quantized_matmul(x, w.values, w.scales, bits=w.bits)
+    return x @ w
+
+
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     b, l, _ = x.shape
     return x.reshape(b, l, n_heads, -1).transpose(0, 2, 1, 3)  # (B,H,L,hd)
@@ -112,14 +131,15 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
     """One transformer block. ``attn_fn(q, k, v) -> ctx`` closes over cache/mask."""
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q = _split_heads(h @ lp["wq"], cfg.n_heads)
-    k = _split_heads(h @ lp["wk"], cfg.n_kv_heads)
-    v = _split_heads(h @ lp["wv"], cfg.n_kv_heads)
+    q = _split_heads(_mm(h, lp["wq"]), cfg.n_heads)
+    k = _split_heads(_mm(h, lp["wk"]), cfg.n_kv_heads)
+    v = _split_heads(_mm(h, lp["wv"]), cfg.n_kv_heads)
     ctx, extras = attn_fn(q, k, v)
-    attn_out = _merge_heads(ctx) @ lp["wo"]
+    attn_out = _mm(_merge_heads(ctx), lp["wo"])
     x = x + attn_out
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    mlp = (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+    mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
+              lp["w_down"])
     x = x + mlp
     return x, attn_out, extras
 
@@ -160,7 +180,7 @@ def decoder_forward(
 
     x, tap_stack = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
 
     if collect_taps:
         taps = {f"layers.{i}.attention.output": tap_stack[i]
@@ -175,9 +195,21 @@ def decoder_forward(
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, max_len: Optional[int] = None,
-                  dtype: Optional[Any] = None) -> Dict:
-    """Preallocated static-shape KV cache: (n_layers, B, KVH, S, hd)."""
+                  dtype: Optional[Any] = None,
+                  quantization: Optional[str] = None) -> Dict:
+    """Preallocated static-shape KV cache: (n_layers, B, KVH, S, hd).
+
+    ``quantization``: None (dense, ``dtype`` storage), 'int8', or 'fp8' —
+    quantized caches store QTensors with per-token-per-head scales
+    (quant/kv_cache.py) and halve (or better) decode HBM traffic.
+    """
     s = max_len or cfg.max_seq_len
+    if quantization is not None:
+        from flash_attention_softmax_n_tpu.quant.kv_cache import (
+            init_quantized_kv_cache,
+        )
+        return init_quantized_kv_cache(cfg.n_layers, batch, cfg.n_kv_heads,
+                                       s, cfg.head_dim, mode=quantization)
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
     dt = dtype or cfg.dtype
     return {
@@ -222,15 +254,39 @@ def prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     x, (k_stack, v_stack) = jax.lax.scan(body, x, (params["layers"], layer_ids))
 
     cache = dict(cache)
-    cache["k"] = jax.lax.dynamic_update_slice(
-        cache["k"], k_stack.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
-    cache["v"] = jax.lax.dynamic_update_slice(
-        cache["v"], v_stack.astype(cache["v"].dtype), (0, 0, 0, 0, 0))
+    if _is_quantized_cache(cache):
+        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+        from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
+
+        def write(qt, new):
+            bits = 8 if qt.bits == 8 else -8
+            values, scales = quantize_kv(new, bits)
+            zero5 = (0, 0, 0, 0, 0)
+            return QTensor(
+                jax.lax.dynamic_update_slice(
+                    qt.values, values.astype(qt.values.dtype), zero5),
+                jax.lax.dynamic_update_slice(qt.scales, scales, zero5),
+                bits=qt.bits,
+            )
+
+        cache["k"] = write(cache["k"], k_stack)
+        cache["v"] = write(cache["v"], v_stack)
+    else:
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k_stack.astype(cache["k"].dtype), (0, 0, 0, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v_stack.astype(cache["v"].dtype), (0, 0, 0, 0, 0))
     cache["length"] = jnp.asarray(l, jnp.int32)
 
     x = rms_norm(x[:, -1:], params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], cache
+
+
+def _is_quantized_cache(cache: Dict) -> bool:
+    from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
+
+    return isinstance(cache["k"], QTensor)
 
 
 def _cached_attention(cfg: DecoderConfig, q, k_cache, v_cache, length):
@@ -261,17 +317,33 @@ def decode_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
     pos = cache["length"]
     positions = jnp.full((b, 1), pos, jnp.int32)
 
+    quantized = _is_quantized_cache(cache)
+
     def body(x, layer_in):
         lp, k_cache, v_cache = layer_in
 
         def attn(q, k, v):
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
-            k_new = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
-            v_new = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
-            ctx = _cached_attention(cfg, q, k_new, v_new, pos + 1)
+            if quantized:
+                from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                    cached_attention_quantized,
+                    update_quantized_cache,
+                )
+                k_new = update_quantized_cache(k_cache, k, pos)
+                v_new = update_quantized_cache(v_cache, v, pos)
+                ctx = cached_attention_quantized(
+                    q, k_new, v_new, pos + 1,
+                    softmax_n_param=cfg.softmax_n,
+                    scale=cfg.head_dim ** -0.5,
+                    compute_dtype=cfg.dtype,
+                )
+            else:
+                k_new = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
+                v_new = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
+                ctx = _cached_attention(cfg, q, k_new, v_new, pos + 1)
             return ctx.astype(x.dtype), (k_new, v_new)
 
         x, _, (k_new, v_new) = _layer(cfg, (cos, sin), x, lp, attn)
@@ -285,15 +357,20 @@ def decode_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
     cache["length"] = pos + 1
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], cache
 
 
 def greedy_generate(params: Dict, cfg: DecoderConfig, prompt: jax.Array,
-                    max_new_tokens: int) -> jax.Array:
-    """Greedy decoding: prompt (B, L) -> generated tokens (B, max_new_tokens)."""
+                    max_new_tokens: int,
+                    kv_quantization: Optional[str] = None) -> jax.Array:
+    """Greedy decoding: prompt (B, L) -> generated tokens (B, max_new_tokens).
+
+    ``kv_quantization``: None, 'int8', or 'fp8' (quantized KV cache decode).
+    """
     b, l = prompt.shape
-    cache = init_kv_cache(cfg, b, max_len=l + max_new_tokens)
+    cache = init_kv_cache(cfg, b, max_len=l + max_new_tokens,
+                          quantization=kv_quantization)
     logits, cache = prefill(params, cfg, prompt, cache)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
