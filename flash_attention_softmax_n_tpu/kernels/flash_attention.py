@@ -530,16 +530,16 @@ def _bwd(cfg: FlashConfig, residuals, do):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
-    o, _ = _fwd(cfg, q, k, v, bias, alibi_slopes)
-    return o
+    return _fwd(cfg, q, k, v, bias, alibi_slopes)
 
 
 def _flash_fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
     o, lse = _fwd(cfg, q, k, v, bias, alibi_slopes)
-    return o, (q, k, v, bias, alibi_slopes, o, lse)
+    return (o, lse), (q, k, v, bias, alibi_slopes, o, lse)
 
 
-def _flash_bwd(cfg: FlashConfig, residuals, do):
+def _flash_bwd(cfg: FlashConfig, residuals, cotangents):
+    do, _ = cotangents  # lse is a non-differentiable auxiliary output
     dq, dk, dv = _bwd(cfg, residuals, do)
     # bias / alibi_slopes are treated as non-differentiable (the reference
     # test surface only exercises q/k/v grads; dbias lands in a later round).
@@ -562,6 +562,7 @@ def flash_attention_n_fused(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    return_residuals: bool = False,
 ) -> jax.Array:
     """Fused softmax-N flash attention on (B, H, L, E)/(B, H, S, E) inputs.
 
@@ -571,6 +572,10 @@ def flash_attention_n_fused(
 
     ``bias`` is an additive float bias broadcastable as (B|1, H|1, L, S).
     ``alibi_slopes`` is a per-head (H,) slope vector applied in-kernel.
+
+    ``return_residuals=True`` additionally returns the softmax-N logsumexp
+    ``lse = log(n + sum_j exp(s_j))`` of shape (B, H, L) — the associative-
+    merge statistic ring attention carries across devices (SURVEY §2.3).
     """
     if query.ndim != 4 or key.ndim != 4 or value.ndim != 4:
         raise ValueError("flash_attention_n_fused expects (B, H, L, E) tensors")
@@ -623,5 +628,8 @@ def flash_attention_n_fused(
     if alibi_slopes is not None:
         slopes = alibi_slopes.astype(jnp.float32).reshape(heads)
 
-    out = _flash(cfg, qp, kp, vp, bp, slopes)
-    return out[:, :, :q_len, :d]
+    out, lse = _flash(cfg, qp, kp, vp, bp, slopes)
+    out = out[:, :, :q_len, :d]
+    if return_residuals:
+        return out, lse[:, :, :q_len, 0]
+    return out

@@ -1,0 +1,166 @@
+"""Ring attention: sequence-parallel softmax-N attention over a mesh axis.
+
+Long-context capability (SURVEY §2.3, §5): Q/K/V are sharded along the
+sequence axis over the "sp" mesh axis; K/V blocks rotate around the ring via
+``ppermute`` while every device folds each visiting block into its local
+online-softmax state — the same associative (m, l, acc) merge the Pallas
+kernel uses across KV tiles (kernels/flash_attention.py), lifted across
+devices.
+
+The ``+n`` term placement (the invariant SURVEY §7 calls the hard part): the
+per-block partials are computed with **n = 0** (pure softmax-0 statistics)
+and each block returns its output and logsumexp; the ``+n`` enters exactly
+once, in the final combine on the device that owns the query row:
+
+    denom = n + sum_blocks exp(lse_b)
+    out   = sum_blocks o_b * exp(lse_b) / denom
+
+Causality across the ring: device q_rank attends kv block b fully when
+b < q_rank, partially (local causal mask) when b == q_rank, not at all when
+b > q_rank (the partial is computed and masked to zero weight — uniform
+control flow keeps the ring in lockstep).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+    flash_attention_n_fused,
+)
+
+__all__ = ["ring_attention_n"]
+
+NEG_INF = -1e30
+
+
+def _local_attention_block(q, k, v, scale, mode, implementation):
+    """softmax-0 partial attention of local q against one visiting kv block.
+
+    mode: 0 = full (block strictly in the past), 1 = diagonal (causal
+    within block), 2 = skip (block strictly in the future).
+    Returns (o, lse) with lse = log(sum_j exp(s_j)) (n=0 statistics).
+    """
+    if implementation == "pallas":
+        o_full, lse_full = flash_attention_n_fused(
+            q, k, v, softmax_n_param=0.0, scale=scale, is_causal=False,
+            return_residuals=True)
+        o_diag, lse_diag = flash_attention_n_fused(
+            q, k, v, softmax_n_param=0.0, scale=scale, is_causal=True,
+            return_residuals=True)
+    else:
+        s = jnp.einsum("bhle,bhse->bhls", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        lq, lk = q.shape[2], k.shape[2]
+        causal = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+
+        def softmax0(s):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.einsum("bhls,bhsv->bhlv", (e / l).astype(v.dtype), v)
+            return o, (m + jnp.log(l))[..., 0]
+
+        o_full, lse_full = softmax0(s)
+        o_diag, lse_diag = softmax0(jnp.where(causal, s, NEG_INF))
+
+    # mode select without data-dependent control flow (ring stays in lockstep)
+    is_full = (mode == 0)
+    is_diag = (mode == 1)
+    o = jnp.where(is_full, o_full, jnp.where(is_diag, o_diag, 0.0))
+    lse = jnp.where(is_full, lse_full,
+                    jnp.where(is_diag, lse_diag, NEG_INF))
+    return o, lse
+
+
+def ring_attention_n(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    softmax_n_param: float = 0.0,
+    scale: Optional[float] = None,
+    is_causal: bool = True,
+    implementation: str = "auto",
+) -> jax.Array:
+    """Sequence-parallel softmax-N attention.
+
+    q/k/v (B, H, L, E) logically; physically sharded (B, H, L/p, E) over
+    ``axis_name``. Returns the attention output with the same sharding as q.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if implementation == "auto":
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def local_fn(q, k, v):
+        p = jax.lax.axis_size(axis_name)
+        my = jax.lax.axis_index(axis_name)
+
+        def step(carry, t):
+            # running state is the kernel's (un-normalized acc, max, sum):
+            #   o_tilde = sum_seen exp(s - m) v;  l = sum_seen exp(s - m)
+            o_tilde, m, l, k_cur, v_cur = carry
+            # at step t this device holds kv block (my - t) mod p
+            block_owner = jax.lax.rem(my - t + p, p)
+            if is_causal:
+                mode = jnp.where(block_owner < my, 0,
+                                 jnp.where(block_owner == my, 1, 2))
+            else:
+                mode = jnp.zeros((), jnp.int32)
+            o_b, lse_b = _local_attention_block(
+                q, k_cur, v_cur, scale, mode, implementation)
+
+            # fold: block contributes exp(lse_b - m_new) * o_b (o_b is the
+            # block-normalized output, so o_b * exp(lse_b) is its raw sum)
+            m_new = jnp.maximum(m, lse_b)
+            m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+            alpha = jnp.exp(m - m_safe)
+            alpha = jnp.where(m <= NEG_INF / 2, 0.0, alpha)
+            w_b = jnp.exp(lse_b - m_safe)
+            w_b = jnp.where(lse_b <= NEG_INF / 2, 0.0, w_b)
+            o_tilde = o_tilde * alpha[..., None] \
+                + o_b.astype(jnp.float32) * w_b[..., None]
+            l = l * alpha + w_b
+            m = m_new
+
+            # rotate kv to the right neighbor
+            perm = [(i, (i + 1) % p) for i in range(p)]
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+            return (o_tilde, m, l, k_nxt, v_nxt), None
+
+        b, h, lq, e = q.shape
+        # mark initial carries as device-varying over the ring axis (shard_map
+        # vma typing: the loop outputs vary across 'sp', so inputs must too)
+        o_tilde = jax.lax.pcast(jnp.zeros((b, h, lq, e), jnp.float32),
+                                (axis_name,), to='varying')
+        m = jax.lax.pcast(jnp.full((b, h, lq), NEG_INF, jnp.float32),
+                          (axis_name,), to='varying')
+        l = jax.lax.pcast(jnp.zeros((b, h, lq), jnp.float32),
+                          (axis_name,), to='varying')
+        (o_tilde, m, l, _, _), _ = jax.lax.scan(
+            step, (o_tilde, m, l, k, v), jnp.arange(p))
+
+        # final normalization — the +n enters exactly once, here, in the
+        # same numeraire as the running max: denom = l + n * exp(-m)
+        n_term = softmax_n_param * jnp.exp(jnp.minimum(-m, 80.0))
+        denom = l + n_term
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        empty = l == 0.0
+        out = jnp.where(empty[..., None] & (softmax_n_param > 0),
+                        0.0, o_tilde / safe[..., None])
+        return out.astype(q.dtype)
+
+    spec = P(None, None, axis_name, None)
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )(q, k, v)

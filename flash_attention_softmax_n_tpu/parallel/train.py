@@ -1,0 +1,87 @@
+"""Sharded training step: TP ("model") x DP ("data") causal-LM training.
+
+The multi-chip compute path: parameters are tensor-sharded per
+sharding.decoder_param_specs, batches are data-sharded, and the step is a
+single jit with input/output shardings — XLA's SPMD partitioner inserts the
+all-gathers/psums/reduce-scatters over ICI (scaling-book recipe; no
+user-space collectives, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flash_attention_softmax_n_tpu.models.decoder import (
+    DecoderConfig,
+    decoder_forward,
+)
+from flash_attention_softmax_n_tpu.parallel.sharding import (
+    batch_spec,
+    decoder_param_specs,
+    param_shardings,
+    shard_pytree,
+)
+
+__all__ = ["causal_lm_loss", "make_train_step", "TrainState"]
+
+
+def causal_lm_loss(params: Dict, cfg: DecoderConfig,
+                   tokens: jax.Array) -> jax.Array:
+    """Next-token cross-entropy over (B, L) tokens (shift-by-one)."""
+    logits = decoder_forward(params, cfg, tokens)  # (B, L, V)
+    targets = tokens[:, 1:]
+    logits = logits[:, :-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+class TrainState:
+    """Minimal train state: params + optimizer state (pytree container)."""
+
+    def __init__(self, params, opt_state):
+        self.params = params
+        self.opt_state = opt_state
+
+
+def make_train_step(cfg: DecoderConfig, mesh: Mesh,
+                    learning_rate: float = 1e-4,
+                    optimizer: Optional[optax.GradientTransformation] = None):
+    """Build (sharded_init, sharded_step) for TP x DP training.
+
+    ``sharded_init(params)`` -> (params, opt_state) placed on the mesh.
+    ``sharded_step(params, opt_state, tokens)`` -> (params, opt_state, loss),
+    jitted with NamedShardings so every weight stays tensor-sharded across
+    steps (grads and optimizer moments inherit the param shardings).
+    """
+    tx = optimizer or optax.adamw(learning_rate)
+
+    def init(params):
+        specs = decoder_param_specs(params)
+        params = shard_pytree(params, specs, mesh)
+        opt_state = tx.init(params)
+        return params, opt_state
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(causal_lm_loss)(params, cfg, tokens)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def sharded_step(params, opt_state, tokens):
+        specs = decoder_param_specs(params)
+        p_shardings = param_shardings(params, specs, mesh)
+        token_sharding = NamedSharding(mesh, batch_spec())
+        return jax.jit(
+            step,
+            in_shardings=(p_shardings, None, token_sharding),
+            out_shardings=(p_shardings, None, None),
+        )(params, opt_state, tokens)
+
+    return init, sharded_step

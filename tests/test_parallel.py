@@ -1,0 +1,145 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY §4 implication:
+DP/TP/ring-attention logic testable without TPU hardware).
+
+Covers: mesh construction, TP-sharded forward equivalence with single-device,
+ring attention vs the oracle (softmax-N placement across devices), and the
+full sharded train step.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flash_attention_softmax_n_tpu.models import (
+    DecoderConfig,
+    decoder_forward,
+    init_decoder_params,
+)
+from flash_attention_softmax_n_tpu.ops.functional import slow_attention_n
+from flash_attention_softmax_n_tpu.parallel import (
+    causal_lm_loss,
+    decoder_param_specs,
+    make_mesh,
+    make_train_step,
+    ring_attention_n,
+    shard_pytree,
+)
+
+TINY = DecoderConfig(
+    vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4,
+    d_ff=128, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32,
+    attn_implementation="xla",
+)
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        assert mesh.shape == {"data": 2, "model": 4}
+
+    def test_too_many_devices_rejected(self):
+        with pytest.raises(ValueError):
+            make_mesh({"data": 64, "model": 64})
+
+
+class TestTensorParallel:
+    def test_sharded_forward_matches_single_device(self):
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+
+        ref = decoder_forward(params, TINY, tokens)
+
+        specs = decoder_param_specs(params)
+        sharded = shard_pytree(params, specs, mesh)
+        tok_sharded = jax.device_put(
+            tokens, NamedSharding(mesh, P("data", None)))
+        out = jax.jit(lambda p, t: decoder_forward(p, TINY, t))(
+            sharded, tok_sharded)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_quantized_params_shard(self):
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.quant import quantize_decoder_weights
+        mesh = make_mesh({"data": 2, "model": 4})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_weights(params, bits=8)
+        specs = decoder_param_specs(qparams)
+        sharded = shard_pytree(qparams, specs, mesh)
+        assert sharded["layers"]["wq"].values.sharding.spec == P(
+            None, None, "model")
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("n", [0.0, 1.0])
+    @pytest.mark.parametrize("is_causal", [False, True])
+    def test_matches_oracle(self, n, is_causal):
+        require_devices(4)
+        mesh = make_mesh({"sp": 4})
+        b, h, l, e = 2, 2, 64, 32
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks)
+
+        out = jax.jit(lambda q, k, v: ring_attention_n(
+            q, k, v, mesh=mesh, axis_name="sp", softmax_n_param=n,
+            is_causal=is_causal, implementation="xla"))(q, k, v)
+        expected = slow_attention_n(q, k, v, softmax_n_param=n,
+                                    is_causal=is_causal)
+        np.testing.assert_allclose(out, expected, atol=2e-4,
+                                   err_msg=f"n={n} causal={is_causal}")
+
+    def test_plus_n_applied_once(self):
+        # analytic check: constant inputs, unmasked — denominator must be
+        # n + S (not n*p + S, which a per-shard +n bug would produce)
+        require_devices(4)
+        import math
+        from tests.common import attention_analytic_answer, constant_qkv
+        mesh = make_mesh({"sp": 4})
+        w, l, e = 0.5, 64, 32
+        q, k, v = constant_qkv((1, 1), l, l, e, e, w)
+        out = jax.jit(lambda q, k, v: ring_attention_n(
+            q, k, v, mesh=mesh, axis_name="sp", softmax_n_param=4.0,
+            is_causal=False, implementation="xla"))(q, k, v)
+        expected = attention_analytic_answer((1, 1), l, l, e, e,
+                                             1 / math.sqrt(e), w, 4.0)
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+class TestTrainStep:
+    def test_sharded_train_step_runs_and_reduces_loss(self):
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+
+        init, step = make_train_step(TINY, mesh, learning_rate=1e-2)
+        params, opt_state = init(params)
+        loss0 = None
+        for i in range(3):
+            params, opt_state, loss = step(params, opt_state, tokens)
+            if loss0 is None:
+                loss0 = float(loss)
+        assert float(loss) < loss0
+
+    def test_loss_matches_unsharded(self):
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+        ref_loss = float(causal_lm_loss(params, TINY, tokens))
+
+        init, step = make_train_step(TINY, mesh)
+        sharded_params, opt_state = init(params)
+        _, _, loss = step(sharded_params, opt_state, tokens)
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
