@@ -1,0 +1,409 @@
+"""Continuous-batching inference engine for softmax-N decoders.
+
+North-star net-new capability (BASELINE.json: "continuous batching across
+hosts"): a slot-based serving engine with TPU-friendly static shapes —
+
+  * a fixed pool of ``max_batch`` sequence slots sharing one preallocated
+    KV cache (dense bf16, INT8, or FP8 via quant/kv_cache.py);
+  * per-slot lengths/active masks as device vectors (no shape changes,
+    no recompilation as requests come and go);
+  * admission by per-slot prefill (compiled once per prompt-length bucket),
+    decode as ONE batched step over all slots per iteration;
+  * greedy or temperature sampling, EOS + max-token termination;
+  * optional tensor-parallel params over a mesh ("model" axis) — the cache
+    shards over heads, admission/decode are pjit-compiled SPMD programs.
+
+The request queue and slot bookkeeping are host-side Python (cheap,
+asynchronous with device compute); everything per-token is compiled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_softmax_n_tpu.models.decoder import (
+    DecoderConfig,
+    _layer,
+    _mm,
+    _repeat_kv,
+)
+from flash_attention_softmax_n_tpu.models.layers import (
+    apply_rope,
+    rms_norm,
+    rope_frequencies,
+)
+from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
+from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
+
+__all__ = ["Request", "InferenceEngine"]
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request (host-side)."""
+
+    request_id: int
+    prompt: List[int]
+    max_new_tokens: int = 64
+    temperature: float = 0.0  # 0 = greedy
+    eos_token: Optional[int] = None
+    # filled by the engine:
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+# ----------------------------------------------------------------------------
+# compiled model steps (slot-aware: per-slot lengths instead of one scalar)
+# ----------------------------------------------------------------------------
+
+
+def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths):
+    """q (B, 1q, ...) attention over per-slot-length cache.
+
+    lengths (B,): number of valid keys per slot. Quantized caches dequant via
+    the scale-folding identities (quant/kv_cache.py).
+    """
+    quantized = isinstance(k_cache, QTensor)
+    if quantized:
+        kv = _repeat_kv(k_cache.values, cfg.n_heads // cfg.n_kv_heads)
+        ks = _repeat_kv(k_cache.scales, cfg.n_heads // cfg.n_kv_heads)
+        vv = _repeat_kv(v_cache.values, cfg.n_heads // cfg.n_kv_heads)
+        vs = _repeat_kv(v_cache.scales, cfg.n_heads // cfg.n_kv_heads)
+        scores = jnp.einsum(
+            "bhle,bhse->bhls", q.astype(cfg.dtype), kv.astype(cfg.dtype),
+            preferred_element_type=jnp.float32)
+        scores = scores * jnp.swapaxes(ks, -1, -2)
+    else:
+        kv = _repeat_kv(k_cache, cfg.n_heads // cfg.n_kv_heads)
+        vv = _repeat_kv(v_cache, cfg.n_heads // cfg.n_kv_heads)
+        scores = jnp.einsum("bhle,bhse->bhls", q, kv,
+                            preferred_element_type=jnp.float32)
+    scores = scores * (cfg.head_dim ** -0.5)
+    s = kv.shape[2]
+    valid = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = softmax_n(scores, n=cfg.softmax_n, axis=-1)
+    if quantized:
+        probs = probs * jnp.swapaxes(vs, -1, -2)
+    ctx = jnp.einsum("bhls,bhsv->bhlv", probs.astype(cfg.dtype),
+                     vv.astype(cfg.dtype))
+    return ctx
+
+
+def _write_cache(cache_kv, new, slot_or_zero, pos):
+    """Write new (b, KVH, L, hd) at (slot, pos). Quantization-aware."""
+    if isinstance(cache_kv, QTensor):
+        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+
+        bits = 8 if cache_kv.bits == 8 else -8
+        values, scales = quantize_kv(new, bits)
+        idx = (slot_or_zero, 0, pos, 0)
+        return QTensor(
+            jax.lax.dynamic_update_slice(
+                cache_kv.values, values.astype(cache_kv.values.dtype), idx),
+            jax.lax.dynamic_update_slice(cache_kv.scales, scales, idx),
+            bits=cache_kv.bits,
+        )
+    return jax.lax.dynamic_update_slice(
+        cache_kv, new.astype(cache_kv.dtype), (slot_or_zero, 0, pos, 0))
+
+
+def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                   true_len: jax.Array, slot: jax.Array,
+                   cache: Dict) -> Tuple[jax.Array, Dict]:
+    """Prefill ONE slot with a (1, Lb) right-padded prompt.
+
+    Returns (last-token logits (V,), cache'). Padded positions beyond
+    ``true_len`` are masked out of attention and never read later (the slot
+    length is set to true_len).
+    """
+    _, lb = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    positions = jnp.arange(lb)
+
+    # attention mask: causal AND key < true_len
+    key_valid = jnp.arange(lb)[None, :] < true_len
+    mask = jnp.logical_and(
+        jnp.tril(jnp.ones((lb, lb), bool)), key_valid)[None, None]
+
+    def attn_factory(store):
+        def attn(q, k, v):
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+            store["k"], store["v"] = k, v
+            kf = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
+            vf = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
+            ctx = flash_attention_n(
+                q, kf, vf, softmax_n_param=cfg.softmax_n, attn_mask=mask,
+                implementation=("xla" if cfg.attn_implementation == "xla"
+                                else "auto"),
+            )
+            return ctx, None
+        return attn
+
+    def body(x, lp):
+        store = {}
+        x, _, _ = _layer(cfg, (cos, sin), x, lp, attn_factory(store))
+        return x, (store["k"], store["v"])
+
+    x, (k_stack, v_stack) = jax.lax.scan(body, x, params["layers"])
+
+    cache = dict(cache)
+
+    def write_layer(cache_kv, new_stack):
+        # new_stack (nl, 1, KVH, Lb, hd) -> write each layer at (slot, 0)
+        if isinstance(cache_kv, QTensor):
+            from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+            bits = 8 if cache_kv.bits == 8 else -8
+            values, scales = quantize_kv(new_stack, bits)
+            idx = (0, slot, 0, 0, 0)
+            return QTensor(
+                jax.lax.dynamic_update_slice(
+                    cache_kv.values,
+                    values[:, 0][:, None].astype(cache_kv.values.dtype), idx),
+                jax.lax.dynamic_update_slice(
+                    cache_kv.scales, scales[:, 0][:, None], idx),
+                bits=cache_kv.bits,
+            )
+        return jax.lax.dynamic_update_slice(
+            cache_kv, new_stack[:, 0][:, None].astype(cache_kv.dtype),
+            (0, slot, 0, 0, 0))
+
+    cache["k"] = write_layer(cache["k"], k_stack)
+    cache["v"] = write_layer(cache["v"], v_stack)
+    cache["lengths"] = cache["lengths"].at[slot].set(true_len)
+
+    # logits at the last true token
+    x_last = jax.lax.dynamic_slice(x, (0, true_len - 1, 0),
+                                   (1, 1, cfg.d_model))
+    x_last = rms_norm(x_last, params["final_norm"], cfg.norm_eps)
+    logits = _mm(x_last, params["lm_head"]).astype(jnp.float32)
+    return logits[0, 0], cache
+
+
+def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                  cache: Dict, active: jax.Array) -> Tuple[jax.Array, Dict]:
+    """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
+
+    Inactive slots compute garbage but never write past their length
+    (their cache write lands at position ``lengths[slot]`` which is then not
+    advanced — lengths only advance for active slots).
+    """
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None].astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    lengths = cache["lengths"]  # (B,)
+    positions = lengths[:, None]  # (B, 1)
+
+    def body(x, layer_in):
+        lp, k_cache, v_cache = layer_in
+
+        def attn(q, k, v):
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+
+            # scatter each slot's kv at its own length via vmapped
+            # dynamic_update_slice (XLA scatter — touches one row per slot,
+            # not the whole cache)
+            def write_at(cache_arr, new_arr):
+                return jax.vmap(
+                    lambda c, nw, p: jax.lax.dynamic_update_slice(
+                        c, nw.astype(c.dtype), (0, p, 0))
+                )(cache_arr, new_arr, lengths)
+
+            if isinstance(k_cache, QTensor):
+                from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                    quantize_kv,
+                )
+                bits = 8 if k_cache.bits == 8 else -8
+
+                def scatter_q(qt, new):
+                    values, scales = quantize_kv(new, bits)
+                    return QTensor(write_at(qt.values, values),
+                                   write_at(qt.scales, scales),
+                                   bits=qt.bits)
+
+                k_new = scatter_q(k_cache, k)
+                v_new = scatter_q(v_cache, v)
+            else:
+                k_new = write_at(k_cache, k)
+                v_new = write_at(v_cache, v)
+
+            ctx = _attention_over_slots(cfg, q, k_new, v_new, lengths + 1)
+            return ctx.astype(x.dtype), (k_new, v_new)
+
+        x, _, (k_new, v_new) = _layer(cfg, (cos, sin), x, lp, attn)
+        return x, (k_new, v_new)
+
+    x, (k_stack, v_stack) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"]))
+
+    cache = dict(cache)
+    cache["k"], cache["v"] = k_stack, v_stack
+    cache["lengths"] = jnp.where(active, lengths + 1, lengths)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    return logits[:, 0], cache
+
+
+# ----------------------------------------------------------------------------
+# host-side engine
+# ----------------------------------------------------------------------------
+
+
+class InferenceEngine:
+    """Slot-based continuous-batching engine.
+
+    Usage::
+
+        eng = InferenceEngine(cfg, params, max_batch=8, max_len=2048,
+                              kv_quantization='int8')
+        rid = eng.submit([1, 2, 3], max_new_tokens=32)
+        finished = eng.run_until_done()   # or step() in a serving loop
+    """
+
+    def __init__(self, cfg: DecoderConfig, params: Dict, *,
+                 max_batch: int = 8, max_len: Optional[int] = None,
+                 kv_quantization: Optional[str] = None,
+                 pad_token: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_len = max_len or cfg.max_seq_len
+        self.pad_token = pad_token
+        self._id_gen = itertools.count()
+        self.queue: deque[Request] = deque()
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self._slot_budget = [0] * max_batch  # remaining new tokens per slot
+        self._next_token = jnp.zeros((max_batch,), jnp.int32)
+        self._rng = jax.random.PRNGKey(0)
+
+        if kv_quantization is not None:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                init_quantized_kv_cache,
+            )
+            self.cache = init_quantized_kv_cache(
+                cfg.n_layers, max_batch, cfg.n_kv_heads, self.max_len,
+                cfg.head_dim, mode=kv_quantization)
+        else:
+            shape = (cfg.n_layers, max_batch, cfg.n_kv_heads, self.max_len,
+                     cfg.head_dim)
+            self.cache = {"k": jnp.zeros(shape, cfg.dtype),
+                          "v": jnp.zeros(shape, cfg.dtype)}
+        self.cache["lengths"] = jnp.zeros((max_batch,), jnp.int32)
+        self.cache.pop("length", None)
+
+        self._prefill = jax.jit(
+            partial(engine_prefill, cfg=cfg),
+            static_argnames=())
+        self._decode = jax.jit(partial(engine_decode, cfg=cfg))
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt: List[int], max_new_tokens: int = 64,
+               temperature: float = 0.0,
+               eos_token: Optional[int] = None) -> int:
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        req = Request(next(self._id_gen), list(prompt), max_new_tokens,
+                      temperature, eos_token)
+        self.queue.append(req)
+        return req.request_id
+
+    def step(self) -> List[Request]:
+        """Admit queued requests into free slots, run one decode step.
+
+        Returns requests that finished during this step.
+        """
+        finished = self._admit()
+        active_slots = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active_slots:
+            return finished
+
+        active = jnp.asarray(
+            [r is not None for r in self.slots], dtype=bool)
+        logits, self.cache = self._decode(
+            params=self.params, tokens=self._next_token, cache=self.cache,
+            active=active)
+        temps = [r.temperature if r is not None else 0.0 for r in self.slots]
+        next_tokens = self._sample(logits, temps)
+
+        next_host = jax.device_get(next_tokens)
+        for i in active_slots:
+            req = self.slots[i]
+            tok = int(next_host[i])
+            req.output.append(tok)
+            self._slot_budget[i] -= 1
+            if (self._slot_budget[i] <= 0
+                    or (req.eos_token is not None and tok == req.eos_token)):
+                req.done = True
+                finished.append(req)
+                self.slots[i] = None
+            else:
+                self._next_token = self._next_token.at[i].set(tok)
+        return finished
+
+    def run_until_done(self, max_steps: int = 100_000) -> List[Request]:
+        done = []
+        for _ in range(max_steps):
+            done.extend(self.step())
+            if not self.queue and all(s is None for s in self.slots):
+                break
+        return done
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self) -> List[Request]:
+        finished = []
+        for i in range(self.max_batch):
+            if self.slots[i] is not None or not self.queue:
+                continue
+            req = self.queue.popleft()
+            lb = _bucket(len(req.prompt))
+            padded = req.prompt + [self.pad_token] * (lb - len(req.prompt))
+            tokens = jnp.asarray([padded], jnp.int32)
+            logits, self.cache = self._prefill(
+                params=self.params, tokens=tokens,
+                true_len=jnp.asarray(len(req.prompt), jnp.int32),
+                slot=jnp.asarray(i, jnp.int32), cache=self.cache)
+            tok = int(self._sample(logits[None], [req.temperature])[0])
+            req.output.append(tok)
+            self.slots[i] = req
+            self._slot_budget[i] = req.max_new_tokens - 1
+            if (req.max_new_tokens <= 1
+                    or (req.eos_token is not None and tok == req.eos_token)):
+                req.done = True
+                finished.append(req)
+                self.slots[i] = None
+                self._slot_budget[i] = 0
+            else:
+                self._next_token = self._next_token.at[i].set(tok)
+        return finished
+
+    def _sample(self, logits: jax.Array, temps: List[float]) -> jax.Array:
+        """Greedy at temperature 0, else per-slot temperature sampling."""
+        if any(t > 0 for t in temps):
+            self._rng, sub = jax.random.split(self._rng)
+            t = jnp.asarray([max(t, 1e-6) for t in temps])[:logits.shape[0]]
+            return jax.random.categorical(
+                sub, logits / t[:, None], axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
