@@ -100,7 +100,10 @@ def _mm(x: jax.Array, w) -> jax.Array:
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor, dequantize
 
     if isinstance(w, QTensor):
-        if w.bits == -8:
+        k = w.logical_shape[-2]
+        if w.bits == -8 or (w.bits == 4 and k % 256):
+            # fp8, or int4 below the kernel's grouped-packing granularity:
+            # dequantize inline (XLA fuses the cast into the matmul)
             return x @ dequantize(w, x.dtype)
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul,

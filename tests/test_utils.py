@@ -1,0 +1,87 @@
+"""Checkpoint round-trip and profiling utility tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_softmax_n_tpu.models import (
+    DecoderConfig,
+    decoder_forward,
+    init_decoder_params,
+)
+from flash_attention_softmax_n_tpu.quant import QTensor, quantize_decoder_weights
+from flash_attention_softmax_n_tpu.utils import (
+    attention_roofline,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+TINY = DecoderConfig(
+    vocab_size=97, d_model=32, n_layers=2, n_heads=4, n_kv_heads=2,
+    d_ff=64, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32,
+    attn_implementation="xla",
+)
+
+
+class TestCheckpoint:
+    def test_roundtrip_dense(self, tmp_path):
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        save_checkpoint(tmp_path / "ckpt", TINY, params,
+                        metadata={"surgery": {"softmax_n": 1.0}})
+        cfg, restored, meta = load_checkpoint(tmp_path / "ckpt")
+        assert cfg == TINY
+        assert cfg.softmax_n == 1.0  # surgery persists in the checkpoint
+        assert meta["surgery"]["softmax_n"] == 1.0
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 97)
+        np.testing.assert_allclose(decoder_forward(restored, cfg, tokens),
+                                   decoder_forward(params, TINY, tokens),
+                                   atol=1e-6)
+
+    def test_roundtrip_bf16(self, tmp_path):
+        cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        save_checkpoint(tmp_path / "ckpt", cfg, params)
+        cfg2, restored, _ = load_checkpoint(tmp_path / "ckpt")
+        assert cfg2.dtype == jnp.bfloat16
+        assert restored["embed"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["embed"].view(jnp.uint16)),
+            np.asarray(params["embed"].view(jnp.uint16)))
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_roundtrip_quantized(self, tmp_path, bits):
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_weights(params, bits=bits)
+        save_checkpoint(tmp_path / "q", TINY, qparams)
+        _, restored, _ = load_checkpoint(tmp_path / "q")
+        assert isinstance(restored["layers"]["wq"], QTensor)
+        assert restored["layers"]["wq"].bits == bits
+        np.testing.assert_array_equal(
+            np.asarray(restored["layers"]["wq"].values),
+            np.asarray(qparams["layers"]["wq"].values))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 97)
+        np.testing.assert_allclose(decoder_forward(restored, TINY, tokens),
+                                   decoder_forward(qparams, TINY, tokens),
+                                   atol=1e-5)
+
+
+class TestRoofline:
+    def test_memory_bound_decode(self):
+        # decode (q_len=1) is memory bound
+        r = attention_roofline(8, 16, 1, 2048, 128)
+        assert r["bound"] == "memory"
+
+    def test_compute_bound_prefill(self):
+        r = attention_roofline(8, 16, 4096, 4096, 128, causal=True)
+        assert r["bound"] == "compute"
+        assert r["sol_time"] > 0
+
+    def test_percent_of_sol(self):
+        r = attention_roofline(1, 1, 1024, 1024, 128)
+        assert abs(r["percent_of_sol"](r["sol_time"]) - 100.0) < 1e-6
