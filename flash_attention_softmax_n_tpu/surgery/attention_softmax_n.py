@@ -54,6 +54,23 @@ def decoder_attention_converter(config, params, softmax_n_param: float):
     return dataclasses.replace(config, softmax_n=softmax_n_param), params
 
 
+def _register_xlnet():
+    from flash_attention_softmax_n_tpu.ops.relative_attention import (
+        XLNetAttentionConfig,
+    )
+
+    @policy_registry.register(XLNetAttentionConfig, "xlnet")
+    def xlnet_attention_converter(config, params, softmax_n_param: float):
+        """XLNet relative attention: set softmax-N in rel_attn_core
+        (replaces the reference's method rebinding, _xlnet.py:11-22; the
+        n >= 0 validation the reference does per-module, _xlnet.py:17-18,
+        is enforced centrally in apply_attention_softmax_n)."""
+        return dataclasses.replace(config, softmax_n=softmax_n_param), params
+
+
+_register_xlnet()
+
+
 def apply_attention_softmax_n(
     model: Tuple[object, Dict],
     softmax_n_param: Optional[float] = None,
