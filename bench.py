@@ -85,29 +85,23 @@ def bench_decode(cfg, params, *, kv_quantization, batch=8, prompt_len=128,
     active = jnp.ones((batch,), bool)
     tok = jnp.full((batch,), 17, jnp.int32)
 
-    # whole decode loop on-device: one dispatch for all steps (greedy
-    # sampling inside the scan), like a production serving step
-    @jax.jit
-    def decode_loop(tok, cache):
-        def step(carry, _):
-            tok, cache = carry
-            logits, cache = engine_decode(params, cfg, tok, cache, active)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (nxt, cache), nxt
+    def one_step(tok, cache):
+        logits, cache = decode(params=params, tokens=tok, cache=cache,
+                               active=active)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-        (tok, cache), toks = jax.lax.scan(step, (tok, cache), None,
-                                          length=decode_steps)
-        return tok, cache, toks
-
-    # warmup (compile)
+    # warmup (compile); tokens stay on device across steps — the loop body
+    # is dispatch-only, no per-step host transfer
     t0 = time.time()
-    tok_w, cache_w, _ = decode_loop(tok, cache)
+    tok_w, cache_w = one_step(tok, cache)
     sync(tok_w)
-    log(f"decode loop compile+first run: {time.time() - t0:.1f}s")
+    log(f"decode compile+first step: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    tok_w, _, _ = decode_loop(tok, cache)
-    sync(tok_w)
+    cur, cache = tok, cache_w
+    for _ in range(decode_steps):
+        cur, cache = one_step(cur, cache)
+    sync(cur)
     dt = time.time() - t0
     tps = batch * decode_steps / dt
     log(f"kv={kv_quantization or 'dense'}: {decode_steps} steps x {batch} "
