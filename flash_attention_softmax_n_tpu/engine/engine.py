@@ -78,9 +78,31 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths):
     """q (B, 1q, ...) attention over per-slot-length cache.
 
     lengths (B,): number of valid keys per slot. Quantized caches dequant via
-    the scale-folding identities (quant/kv_cache.py).
+    the scale-folding identities (quant/kv_cache.py). On TPU (and unless the
+    config forces 'xla') this routes to the fused Pallas decode kernel
+    (kernels/decode_attention.py) — int8 caches run INT-FlashAttention-style
+    integer math end to end.
     """
     quantized = isinstance(k_cache, QTensor)
+    use_pallas = (cfg.attn_implementation != "xla"
+                  and jax.default_backend() == "tpu"
+                  and q.shape[2] == 1
+                  and (not quantized or k_cache.bits == 8))
+    if use_pallas:
+        from flash_attention_softmax_n_tpu.kernels.decode_attention import (
+            decode_attention_n,
+        )
+        q3 = q[:, :, 0, :]
+        if quantized:
+            out = decode_attention_n(
+                q3, k_cache.values, v_cache.values, lengths,
+                k_scales=k_cache.scales, v_scales=v_cache.scales,
+                softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5)
+        else:
+            out = decode_attention_n(
+                q3, k_cache, v_cache, lengths,
+                softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5)
+        return out[:, :, None, :].astype(cfg.dtype)
     if quantized:
         kv = _repeat_kv(k_cache.values, cfg.n_heads // cfg.n_kv_heads)
         ks = _repeat_kv(k_cache.scales, cfg.n_heads // cfg.n_kv_heads)
