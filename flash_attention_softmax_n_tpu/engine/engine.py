@@ -74,59 +74,36 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
 # ----------------------------------------------------------------------------
 
 
-def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths):
-    """q (B, 1q, ...) attention over per-slot-length cache.
+def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
+                          k_new=None, v_new=None):
+    """q (B, H, hd) attention over a per-slot-length cache, plus (optionally)
+    the CURRENT token's k/v rows (B, KVH, hd) as one extra key each — so the
+    step's attention never waits on (or re-reads) the cache write.
 
-    lengths (B,): number of valid keys per slot. Quantized caches dequant via
-    the scale-folding identities (quant/kv_cache.py). On TPU (and unless the
-    config forces 'xla') this routes to the fused Pallas decode kernel
-    (kernels/decode_attention.py) — int8 caches run INT-FlashAttention-style
-    integer math end to end.
+    Routing (kernels/decode_attention.py does the work either way): XLA's
+    batched-matvec stats for short caches (dispatch-overhead-bound regime,
+    where it measures faster on v5e), the Pallas kernel for long caches
+    (its length-clamped DMA skip makes HBM traffic track true lengths, while
+    XLA always streams the padded cache).
     """
+    from flash_attention_softmax_n_tpu.kernels.decode_attention import (
+        decode_attention_n,
+    )
+
     quantized = isinstance(k_cache, QTensor)
-    use_pallas = (cfg.attn_implementation != "xla"
-                  and jax.default_backend() == "tpu"
-                  and q.shape[2] == 1
-                  and (not quantized or k_cache.bits == 8))
-    if use_pallas:
-        from flash_attention_softmax_n_tpu.kernels.decode_attention import (
-            decode_attention_n,
-        )
-        q3 = q[:, :, 0, :]
-        if quantized:
-            out = decode_attention_n(
-                q3, k_cache.values, v_cache.values, lengths,
-                k_scales=k_cache.scales, v_scales=v_cache.scales,
-                softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5)
-        else:
-            out = decode_attention_n(
-                q3, k_cache, v_cache, lengths,
-                softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5)
-        return out[:, :, None, :].astype(cfg.dtype)
-    if quantized:
-        kv = _repeat_kv(k_cache.values, cfg.n_heads // cfg.n_kv_heads)
-        ks = _repeat_kv(k_cache.scales, cfg.n_heads // cfg.n_kv_heads)
-        vv = _repeat_kv(v_cache.values, cfg.n_heads // cfg.n_kv_heads)
-        vs = _repeat_kv(v_cache.scales, cfg.n_heads // cfg.n_kv_heads)
-        scores = jnp.einsum(
-            "bhle,bhse->bhls", q.astype(cfg.dtype), kv.astype(cfg.dtype),
-            preferred_element_type=jnp.float32)
-        scores = scores * jnp.swapaxes(ks, -1, -2)
+    s_len = (k_cache.values if quantized else k_cache).shape[2]
+    if cfg.attn_implementation == "xla" or jax.default_backend() != "tpu":
+        impl = "xla"
     else:
-        kv = _repeat_kv(k_cache, cfg.n_heads // cfg.n_kv_heads)
-        vv = _repeat_kv(v_cache, cfg.n_heads // cfg.n_kv_heads)
-        scores = jnp.einsum("bhle,bhse->bhls", q, kv,
-                            preferred_element_type=jnp.float32)
-    scores = scores * (cfg.head_dim ** -0.5)
-    s = kv.shape[2]
-    valid = jnp.arange(s)[None, None, None, :] < lengths[:, None, None, None]
-    scores = jnp.where(valid, scores, NEG_INF)
-    probs = softmax_n(scores, n=cfg.softmax_n, axis=-1)
+        impl = "xla" if s_len <= 1024 else "pallas"
+    kwargs = dict(
+        softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5,
+        k_new=k_new, v_new=v_new, implementation=impl)
     if quantized:
-        probs = probs * jnp.swapaxes(vs, -1, -2)
-    ctx = jnp.einsum("bhls,bhsv->bhlv", probs.astype(cfg.dtype),
-                     vv.astype(cfg.dtype))
-    return ctx
+        return decode_attention_n(
+            q, k_cache.values, v_cache.values, lengths,
+            k_scales=k_cache.scales, v_scales=v_cache.scales, **kwargs)
+    return decode_attention_n(q, k_cache, v_cache, lengths, **kwargs)
 
 
 def _write_cache(cache_kv, new, slot_or_zero, pos):
@@ -225,66 +202,123 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                   cache: Dict, active: jax.Array) -> Tuple[jax.Array, Dict]:
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
-    Inactive slots compute garbage but never write past their length
-    (their cache write lands at position ``lengths[slot]`` which is then not
-    advanced — lengths only advance for active slots).
+    Step anatomy (decode is HBM-bound; everything here serves that):
+      * each layer attends over the UNMODIFIED cache plus the current
+        token's k/v as an explicit extra key (the self-term epilogue of
+        kernels/decode_attention.py) — no read-after-write on the cache;
+      * the new k/v rows of all layers are collected (tiny: NL x B x KVH x
+        hd) and written ONCE per step by the aliased in-place Pallas
+        scatter (kernels/cache_update.py) — replacing a per-layer XLA
+        scatter that rewrote the entire cache every step;
+      * lengths advance only for active slots. Inactive slots compute
+        garbage rows at position ``lengths[slot]``, which the next
+        admission's prefill overwrites.
     """
-    b = tokens.shape[0]
     x = params["embed"][tokens][:, None].astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     lengths = cache["lengths"]  # (B,)
     positions = lengths[:, None]  # (B, 1)
+    quantized = isinstance(cache["k"], QTensor)
+    k_cache, v_cache = cache["k"], cache["v"]
 
     def body(x, layer_in):
-        lp, k_cache, v_cache = layer_in
+        if quantized:
+            lp, kv, ks, vv, vs = layer_in
+            kc = QTensor(kv, ks, bits=k_cache.bits)
+            vc = QTensor(vv, vs, bits=v_cache.bits)
+        else:
+            lp, kc, vc = layer_in
 
         def attn(q, k, v):
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
+            ctx = _attention_over_slots(
+                cfg, q[:, :, 0], kc, vc, lengths,
+                k_new=k[:, :, 0], v_new=v[:, :, 0])
+            return ctx[:, :, None, :].astype(x.dtype), (k[:, :, 0], v[:, :, 0])
 
-            # scatter each slot's kv at its own length via vmapped
-            # dynamic_update_slice (XLA scatter — touches one row per slot,
-            # not the whole cache)
-            def write_at(cache_arr, new_arr):
-                return jax.vmap(
-                    lambda c, nw, p: jax.lax.dynamic_update_slice(
-                        c, nw.astype(c.dtype), (0, p, 0))
-                )(cache_arr, new_arr, lengths)
+        x, _, rows = _layer(cfg, (cos, sin), x, lp, attn)
+        return x, rows
 
-            if isinstance(k_cache, QTensor):
-                from flash_attention_softmax_n_tpu.quant.kv_cache import (
-                    quantize_kv,
-                )
-                bits = 8 if k_cache.bits == 8 else -8
+    if quantized:
+        xs = (params["layers"], k_cache.values, k_cache.scales,
+              v_cache.values, v_cache.scales)
+    else:
+        xs = (params["layers"], k_cache, v_cache)
+    x, (k_rows, v_rows) = jax.lax.scan(body, x, xs)
+    # k_rows/v_rows: (NL, B, KVH, hd) bf16 — the step's new cache rows
 
-                def scatter_q(qt, new):
-                    values, scales = quantize_kv(new, bits)
-                    return QTensor(write_at(qt.values, values),
-                                   write_at(qt.scales, scales),
-                                   bits=qt.bits)
+    from flash_attention_softmax_n_tpu.kernels.cache_update import cache_append
 
-                k_new = scatter_q(k_cache, k)
-                v_new = scatter_q(v_cache, v)
-            else:
-                k_new = write_at(k_cache, k)
-                v_new = write_at(v_cache, v)
+    write_pos = jnp.minimum(lengths, (k_cache.values if quantized
+                                      else k_cache).shape[3] - 1)
+    if quantized:
+        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
 
-            ctx = _attention_over_slots(cfg, q, k_new, v_new, lengths + 1)
-            return ctx.astype(x.dtype), (k_new, v_new)
-
-        x, _, (k_new, v_new) = _layer(cfg, (cos, sin), x, lp, attn)
-        return x, (k_new, v_new)
-
-    x, (k_stack, v_stack) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"]))
+        bits = 8 if k_cache.bits == 8 else -8
+        kq, kqs = quantize_kv(k_rows[:, :, :, None, :], bits)
+        vq, vqs = quantize_kv(v_rows[:, :, :, None, :], bits)
+        kv_out, ks_out, vv_out, vs_out = cache_append(
+            (k_cache.values, k_cache.scales, v_cache.values, v_cache.scales),
+            (kq[:, :, :, 0].astype(k_cache.values.dtype), kqs[:, :, :, 0],
+             vq[:, :, :, 0].astype(v_cache.values.dtype), vqs[:, :, :, 0]),
+            write_pos)
+        k_out = QTensor(kv_out, ks_out, bits=k_cache.bits)
+        v_out = QTensor(vv_out, vs_out, bits=v_cache.bits)
+    else:
+        k_out, v_out = cache_append(
+            (k_cache, v_cache),
+            (k_rows.astype(k_cache.dtype), v_rows.astype(v_cache.dtype)),
+            write_pos)
 
     cache = dict(cache)
-    cache["k"], cache["v"] = k_stack, v_stack
+    cache["k"], cache["v"] = k_out, v_out
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
     return logits[:, 0], cache
+
+
+def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                       cache: Dict, active: jax.Array, *, num_steps: int,
+                       eos_token: Optional[int] = None,
+                       temperature: float = 0.0,
+                       rng: Optional[jax.Array] = None
+                       ) -> Tuple[jax.Array, Dict, jax.Array]:
+    """``num_steps`` fused decode steps in ONE compiled program.
+
+    The per-step host round-trip of calling ``engine_decode`` from Python is
+    pure dispatch overhead (and, without buffer donation, a full KV-cache
+    copy per step); serving engines only need the host between scheduling
+    points. This runs the sample-feedback loop on device via ``lax.scan``:
+    greedy (or temperature) sampling, optional EOS deactivation, per-slot
+    length advance only while active.
+
+    Returns ``(tokens_out (B, num_steps), cache', active')``. Slots that hit
+    EOS keep emitting their last token; callers truncate by ``active`` flips.
+    """
+    if temperature > 0.0 and rng is None:
+        raise ValueError("temperature sampling requires rng")
+
+    def step(carry, key):
+        tok, cache, active = carry
+        logits, cache = engine_decode(params, cfg, tok, cache, active)
+        if temperature > 0.0:
+            nxt = jax.random.categorical(
+                key, logits / temperature, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, tok)
+        if eos_token is not None:
+            active = jnp.logical_and(active, nxt != eos_token)
+        return (nxt, cache, active), nxt
+
+    keys = (jax.random.split(rng, num_steps) if temperature > 0.0
+            else jnp.zeros((num_steps, 2), jnp.uint32))
+    (tok, cache, active), toks = jax.lax.scan(
+        step, (tokens, cache, active), keys)
+    return jnp.swapaxes(toks, 0, 1), cache, active
 
 
 # ----------------------------------------------------------------------------

@@ -73,8 +73,8 @@ def quantized_matmul(
     *,
     bits: int = 8,
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     out_dtype=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -100,6 +100,17 @@ def quantized_matmul(
     n = w_values.shape[1]
     if kw != k:
         raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
+    if block_k is None:
+        block_k = 512
+    if block_n is None:
+        if m_total <= 32:
+            # decode regime: the matmul is a pure weight-stream and grid
+            # overhead (not MXU) bounds it — take the whole N per step so
+            # each k-tile DMA is megabytes (measured best on v5e), capped
+            # so a double-buffered (block_k, block_n) int8 tile fits VMEM
+            block_n = min(_round_up(n, 128), (6 * 1024 * 1024) // block_k)
+        else:
+            block_n = 512
     if bits == 4:
         if k % 256:
             raise ValueError("int4 fused matmul requires K % 256 == 0 "
