@@ -199,7 +199,8 @@ def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
 
 def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
-                  cache: Dict, active: jax.Array) -> Tuple[jax.Array, Dict]:
+                  cache: Dict, active: jax.Array,
+                  mesh=None) -> Tuple[jax.Array, Dict]:
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
     Step anatomy (decode is HBM-bound; everything here serves that):
@@ -213,6 +214,11 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
       * lengths advance only for active slots. Inactive slots compute
         garbage rows at position ``lengths[slot]``, which the next
         admission's prefill overwrites.
+
+    ``mesh``: when serving tensor/data-parallel (parallel/serving.py), the
+    Pallas cache write runs as a ``shard_map`` island — each shard appends
+    its local ('data' slots x 'model' heads) rows with no communication;
+    everything else is XLA-SPMD-partitioned as usual.
     """
     x = params["embed"][tokens][:, None].astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
@@ -250,6 +256,23 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     from flash_attention_softmax_n_tpu.kernels.cache_update import cache_append
 
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _append(caches, news, pos):
+            c_sp = P(None, "data", "model", None, None)
+            n_sp = P(None, "data", "model", None)
+            n = len(caches)
+            return shard_map(
+                cache_append, mesh=mesh,
+                in_specs=((c_sp,) * n, (n_sp,) * n, P("data")),
+                out_specs=(c_sp,) * n,
+                check_vma=False,
+            )(caches, news, pos)
+    else:
+        _append = cache_append
+
     write_pos = jnp.minimum(lengths, (k_cache.values if quantized
                                       else k_cache).shape[3] - 1)
     if quantized:
@@ -258,7 +281,7 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         bits = 8 if k_cache.bits == 8 else -8
         kq, kqs = quantize_kv(k_rows[:, :, :, None, :], bits)
         vq, vqs = quantize_kv(v_rows[:, :, :, None, :], bits)
-        kv_out, ks_out, vv_out, vs_out = cache_append(
+        kv_out, ks_out, vv_out, vs_out = _append(
             (k_cache.values, k_cache.scales, v_cache.values, v_cache.scales),
             (kq[:, :, :, 0].astype(k_cache.values.dtype), kqs[:, :, :, 0],
              vq[:, :, :, 0].astype(v_cache.values.dtype), vqs[:, :, :, 0]),
@@ -266,7 +289,7 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         k_out = QTensor(kv_out, ks_out, bits=k_cache.bits)
         v_out = QTensor(vv_out, vs_out, bits=v_cache.bits)
     else:
-        k_out, v_out = cache_append(
+        k_out, v_out = _append(
             (k_cache, v_cache),
             (k_rows.astype(k_cache.dtype), v_rows.astype(v_cache.dtype)),
             write_pos)
@@ -284,7 +307,8 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                        cache: Dict, active: jax.Array, *, num_steps: int,
                        eos_token: Optional[int] = None,
                        temperature: float = 0.0,
-                       rng: Optional[jax.Array] = None
+                       rng: Optional[jax.Array] = None,
+                       mesh=None,
                        ) -> Tuple[jax.Array, Dict, jax.Array]:
     """``num_steps`` fused decode steps in ONE compiled program.
 
@@ -303,7 +327,8 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     def step(carry, key):
         tok, cache, active = carry
-        logits, cache = engine_decode(params, cfg, tok, cache, active)
+        logits, cache = engine_decode(params, cfg, tok, cache, active,
+                                      mesh=mesh)
         if temperature > 0.0:
             nxt = jax.random.categorical(
                 key, logits / temperature, axis=-1).astype(jnp.int32)

@@ -12,6 +12,10 @@ from flash_attention_softmax_n_tpu.parallel.sharding import (
     kv_cache_specs,
     shard_pytree,
 )
+from flash_attention_softmax_n_tpu.parallel.serving import (
+    make_sharded_decode,
+    shard_engine_state,
+)
 from flash_attention_softmax_n_tpu.parallel.train import (
     causal_lm_loss,
     make_train_step,
@@ -28,4 +32,6 @@ __all__ = [
     "ring_attention_n",
     "causal_lm_loss",
     "make_train_step",
+    "shard_engine_state",
+    "make_sharded_decode",
 ]

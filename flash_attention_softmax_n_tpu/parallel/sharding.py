@@ -90,11 +90,15 @@ def kv_cache_specs(cache: Dict) -> Dict:
                            packed_axis=leaf.packed_axis)
         return kv_spec
 
-    return {
+    specs = {
         "k": leaf_spec(cache["k"]),
         "v": leaf_spec(cache["v"]),
-        "length": P(),
     }
+    if "lengths" in cache:
+        specs["lengths"] = P("data")
+    if "length" in cache:
+        specs["length"] = P()
+    return specs
 
 
 def batch_spec() -> P:

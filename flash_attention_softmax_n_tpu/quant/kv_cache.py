@@ -47,17 +47,22 @@ def init_quantized_kv_cache(n_layers: int, batch: int, n_kv_heads: int,
     shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
     sshape = (n_layers, batch, n_kv_heads, max_len, 1)
     if mode == "int8":
-        vals = jnp.zeros(shape, jnp.int8)
-        bits = 8
+        dt, bits = jnp.int8, 8
     elif mode == "fp8":
-        vals = jnp.zeros(shape, jnp.float8_e4m3fn)
-        bits = -8
+        dt, bits = jnp.float8_e4m3fn, -8
     else:
         raise ValueError(f"unknown KV quantization mode {mode!r}")
-    scales = jnp.zeros(sshape, jnp.float32)
+
+    # k and v must be DISTINCT buffers: sharing one array object between
+    # them double-donates a single buffer when the cache is donated
+    # (jit(donate_argnames='cache')), which the runtime rejects
+    def qt():
+        return QTensor(jnp.zeros(shape, dt), jnp.zeros(sshape, jnp.float32),
+                       bits=bits)
+
     return {
-        "k": QTensor(vals, scales, bits=bits),
-        "v": QTensor(vals, scales, bits=bits),
+        "k": qt(),
+        "v": qt(),
         "length": jnp.zeros((), jnp.int32),
     }
 

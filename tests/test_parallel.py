@@ -143,3 +143,61 @@ class TestTrainStep:
         sharded_params, opt_state = init(params)
         _, _, loss = step(sharded_params, opt_state, tokens)
         np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+
+
+class TestShardedServing:
+    """parallel/serving.py: TP x DP continuous-batching decode.
+
+    The sharded fused decode loop must generate token-identical output to
+    the single-device loop (greedy), for dense and quantized caches — the
+    cache write runs as a shard_map island (engine.py) and everything else
+    is SPMD-partitioned.
+    """
+
+    def _setup(self, quantized):
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode_loop,
+        )
+
+        cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4, d_model=64)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        B, S = 4, 64
+        if quantized:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                init_quantized_kv_cache,
+            )
+            cache = init_quantized_kv_cache(cfg.n_layers, B, cfg.n_kv_heads,
+                                            S, cfg.head_dim, mode="int8")
+            cache.pop("length")
+        else:
+            shape = (cfg.n_layers, B, cfg.n_kv_heads, S, cfg.head_dim)
+            cache = {
+                "k": 0.1 * jax.random.normal(jax.random.PRNGKey(1), shape),
+                "v": 0.1 * jax.random.normal(jax.random.PRNGKey(2), shape),
+            }
+        cache["lengths"] = jnp.full((B,), 8, jnp.int32)
+        tok = jnp.arange(B, dtype=jnp.int32) + 3
+        active = jnp.ones((B,), bool)
+        ref, _, _ = jax.jit(partial(engine_decode_loop, cfg=cfg,
+                                    num_steps=6))(
+            params=params, tokens=tok, cache=dict(cache), active=active)
+        return cfg, params, cache, tok, active, ref
+
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_sharded_decode_matches_single_device(self, quantized):
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.parallel import (
+            make_sharded_decode,
+            shard_engine_state,
+        )
+
+        cfg, params, cache, tok, active, ref = self._setup(quantized)
+        mesh = make_mesh({"data": 2, "model": 4})
+        sp, sc = shard_engine_state(params, dict(cache), mesh)
+        loop = make_sharded_decode(cfg, mesh, num_steps=6, donate=False)
+        out, cache2, active2 = loop(sp, tok, sc, active)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert "data" in str(out.sharding.spec)
+        assert bool(jnp.all(cache2["lengths"] == cache["lengths"] + 6))
