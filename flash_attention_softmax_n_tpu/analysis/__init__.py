@@ -1,3 +1,8 @@
+from flash_attention_softmax_n_tpu.analysis.evaluate import (
+    delta_perplexity,
+    perplexity,
+    token_nll,
+)
 from flash_attention_softmax_n_tpu.analysis.hooks import (
     activation_stats_to_dict,
     compute_weight_statistics,
@@ -20,6 +25,9 @@ from flash_attention_softmax_n_tpu.analysis.statistics import (
 )
 
 __all__ = [
+    "token_nll",
+    "perplexity",
+    "delta_perplexity",
     "register_activation_hooks",
     "init_activation_stats",
     "update_activation_stats",

@@ -75,7 +75,8 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
 
 
 def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
-                          k_new=None, v_new=None):
+                          k_new=None, v_new=None, k_tail=None, v_tail=None,
+                          tail_lengths=None):
     """q (B, H, hd) attention over a per-slot-length cache, plus (optionally)
     the CURRENT token's k/v rows (B, KVH, hd) as one extra key each — so the
     step's attention never waits on (or re-reads) the cache write.
@@ -98,7 +99,8 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
         impl = "xla" if s_len <= 1024 else "pallas"
     kwargs = dict(
         softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5,
-        k_new=k_new, v_new=v_new, implementation=impl)
+        k_new=k_new, v_new=v_new, k_tail=k_tail, v_tail=v_tail,
+        tail_lengths=tail_lengths, implementation=impl)
     if quantized:
         return decode_attention_n(
             q, k_cache.values, v_cache.values, lengths,
@@ -198,9 +200,11 @@ def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     return logits[0, 0], cache
 
 
-def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
-                  cache: Dict, active: jax.Array,
-                  mesh=None) -> Tuple[jax.Array, Dict]:
+def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                 cache: Dict, active: jax.Array, *, mesh=None,
+                 tail: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 tail_index: Optional[jax.Array] = None,
+                 tail_lengths: Optional[jax.Array] = None):
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
     Step anatomy (decode is HBM-bound; everything here serves that):
@@ -216,9 +220,15 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         admission's prefill overwrites.
 
     ``mesh``: when serving tensor/data-parallel (parallel/serving.py), the
-    Pallas cache write runs as a ``shard_map`` island — each shard appends
+    Pallas cache writes run as ``shard_map`` islands — each shard appends
     its local ('data' slots x 'model' heads) rows with no communication;
     everything else is XLA-SPMD-partitioned as usual.
+
+    ``tail`` mode (the fused loop): new rows go to the (k_tail, v_tail)
+    ring buffer at the SHARED ``tail_index`` (batch-size-independent write,
+    kernels/cache_update.py tail_append) instead of the per-slot cache
+    scatter; attention additionally covers the ``tail_lengths`` valid tail
+    rows. The main cache is untouched until the loop's flush.
     """
     x = params["embed"][tokens][:, None].astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
@@ -229,40 +239,55 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     def body(x, layer_in):
         if quantized:
-            lp, kv, ks, vv, vs = layer_in
+            lp, kv, ks, vv, vs = layer_in[:5]
+            rest = layer_in[5:]
             kc = QTensor(kv, ks, bits=k_cache.bits)
             vc = QTensor(vv, vs, bits=v_cache.bits)
         else:
-            lp, kc, vc = layer_in
+            lp, kc, vc = layer_in[:3]
+            rest = layer_in[3:]
+        kt, vt = rest if tail is not None else (None, None)
 
         def attn(q, k, v):
             q = apply_rope(q, cos, sin, positions)
             k = apply_rope(k, cos, sin, positions)
             ctx = _attention_over_slots(
-                cfg, q[:, :, 0], kc, vc, lengths,
-                k_new=k[:, :, 0], v_new=v[:, :, 0])
+                cfg, q[:, :, 0], kc, vc, lengths_main,
+                k_new=k[:, :, 0], v_new=v[:, :, 0],
+                k_tail=kt, v_tail=vt, tail_lengths=tail_lengths)
             return ctx[:, :, None, :].astype(x.dtype), (k[:, :, 0], v[:, :, 0])
 
         x, _, rows = _layer(cfg, (cos, sin), x, lp, attn)
         return x, rows
+
+    # in tail mode, the cache only holds the pre-loop prefix: rows past the
+    # loop entry live in the tail, so the main-cache attention span is
+    # lengths - tail_lengths
+    lengths_main = lengths if tail is None else lengths - tail_lengths
 
     if quantized:
         xs = (params["layers"], k_cache.values, k_cache.scales,
               v_cache.values, v_cache.scales)
     else:
         xs = (params["layers"], k_cache, v_cache)
+    if tail is not None:
+        xs = xs + (tail[0], tail[1])
     x, (k_rows, v_rows) = jax.lax.scan(body, x, xs)
     # k_rows/v_rows: (NL, B, KVH, hd) bf16 — the step's new cache rows
 
-    from flash_attention_softmax_n_tpu.kernels.cache_update import cache_append
+    from flash_attention_softmax_n_tpu.kernels.cache_update import (
+        cache_append,
+        tail_append,
+    )
 
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        c_sp = P(None, "data", "model", None, None)
+        n_sp = P(None, "data", "model", None)
+
         def _append(caches, news, pos):
-            c_sp = P(None, "data", "model", None, None)
-            n_sp = P(None, "data", "model", None)
             n = len(caches)
             return shard_map(
                 cache_append, mesh=mesh,
@@ -270,37 +295,68 @@ def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                 out_specs=(c_sp,) * n,
                 check_vma=False,
             )(caches, news, pos)
+
+        def _tappend(kt, vt, kn, vn, idx):
+            return shard_map(
+                tail_append, mesh=mesh,
+                in_specs=(c_sp, c_sp, n_sp, n_sp, P()),
+                out_specs=(c_sp, c_sp),
+                check_vma=False,
+            )(kt, vt, kn, vn, idx)
     else:
         _append = cache_append
-
-    write_pos = jnp.minimum(lengths, (k_cache.values if quantized
-                                      else k_cache).shape[3] - 1)
-    if quantized:
-        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
-
-        bits = 8 if k_cache.bits == 8 else -8
-        kq, kqs = quantize_kv(k_rows[:, :, :, None, :], bits)
-        vq, vqs = quantize_kv(v_rows[:, :, :, None, :], bits)
-        kv_out, ks_out, vv_out, vs_out = _append(
-            (k_cache.values, k_cache.scales, v_cache.values, v_cache.scales),
-            (kq[:, :, :, 0].astype(k_cache.values.dtype), kqs[:, :, :, 0],
-             vq[:, :, :, 0].astype(v_cache.values.dtype), vqs[:, :, :, 0]),
-            write_pos)
-        k_out = QTensor(kv_out, ks_out, bits=k_cache.bits)
-        v_out = QTensor(vv_out, vs_out, bits=v_cache.bits)
-    else:
-        k_out, v_out = _append(
-            (k_cache, v_cache),
-            (k_rows.astype(k_cache.dtype), v_rows.astype(v_cache.dtype)),
-            write_pos)
+        _tappend = tail_append
 
     cache = dict(cache)
-    cache["k"], cache["v"] = k_out, v_out
+    if tail is not None:
+        new_tail = _tappend(tail[0], tail[1], k_rows.astype(tail[0].dtype),
+                            v_rows.astype(tail[1].dtype), tail_index)
+    else:
+        new_tail = None
+        write_pos = jnp.minimum(lengths, (k_cache.values if quantized
+                                          else k_cache).shape[3] - 1)
+        if quantized:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                quantize_kv,
+            )
+
+            bits = 8 if k_cache.bits == 8 else -8
+            kq, kqs = quantize_kv(k_rows[:, :, :, None, :], bits)
+            vq, vqs = quantize_kv(v_rows[:, :, :, None, :], bits)
+            kv_out, ks_out, vv_out, vs_out = _append(
+                (k_cache.values, k_cache.scales,
+                 v_cache.values, v_cache.scales),
+                (kq[:, :, :, 0].astype(k_cache.values.dtype),
+                 kqs[:, :, :, 0],
+                 vq[:, :, :, 0].astype(v_cache.values.dtype),
+                 vqs[:, :, :, 0]),
+                write_pos)
+            cache["k"] = QTensor(kv_out, ks_out, bits=k_cache.bits)
+            cache["v"] = QTensor(vv_out, vs_out, bits=v_cache.bits)
+        else:
+            cache["k"], cache["v"] = _append(
+                (k_cache, v_cache),
+                (k_rows.astype(k_cache.dtype), v_rows.astype(v_cache.dtype)),
+                write_pos)
+
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"]).astype(jnp.float32)
-    return logits[:, 0], cache
+    return logits[:, 0], cache, new_tail
+
+
+def engine_decode(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                  cache: Dict, active: jax.Array,
+                  mesh=None) -> Tuple[jax.Array, Dict]:
+    """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
+
+    See ``_decode_step`` for the step anatomy; this public wrapper is the
+    per-slot-scatter (non-tail) variant used by the host-driven engine.
+    """
+    logits, cache, _ = _decode_step(params, cfg, tokens, cache, active,
+                                    mesh=mesh)
+    return logits, cache
 
 
 def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
@@ -321,14 +377,44 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     Returns ``(tokens_out (B, num_steps), cache', active')``. Slots that hit
     EOS keep emitting their last token; callers truncate by ``active`` flips.
+
+    Tail-window mode (default for num_steps >= 8): inside the loop, new k/v
+    rows append to a bf16 ring buffer at the loop's SHARED step index (a
+    batch-size-independent in-place write) and attention covers
+    cache-prefix + tail + current token; ONE flush per loop scatters the
+    whole window into the main cache (quantizing it for quantized caches).
+    This replaces num_steps per-slot scatters — the dominant per-step cost
+    at batch >= 16 — with one. Requires ``lengths + round_up(num_steps, 8)
+    <= max_len`` for every active slot (the engine's admission contract;
+    violating it would let the flush's clamped update corrupt earlier
+    rows). Numerics note:
+    within-window keys are attended in bf16 even for quantized caches
+    (strictly more accurate; they are quantized at flush).
     """
     if temperature > 0.0 and rng is None:
         raise ValueError("temperature sampling requires rng")
 
-    def step(carry, key):
-        tok, cache, active = carry
-        logits, cache = engine_decode(params, cfg, tok, cache, active,
-                                      mesh=mesh)
+    quantized = isinstance(cache["k"], QTensor)
+    kc = cache["k"].values if quantized else cache["k"]
+    nl, bsz, kvh, s_len, hd = kc.shape
+    use_tail = num_steps >= 8
+
+    if use_tail:
+        w = -(-num_steps // 8) * 8
+        tail0 = (jnp.zeros((nl, bsz, kvh, w, hd), cfg.dtype),
+                 jnp.zeros((nl, bsz, kvh, w, hd), cfg.dtype))
+        base = cache["lengths"]
+
+    def step(carry, xs):
+        i, key = xs
+        tok, cache, active, tail = carry
+        if use_tail:
+            logits, cache, tail = _decode_step(
+                params, cfg, tok, cache, active, mesh=mesh, tail=tail,
+                tail_index=i, tail_lengths=cache["lengths"] - base)
+        else:
+            logits, cache, _ = _decode_step(params, cfg, tok, cache, active,
+                                            mesh=mesh)
         if temperature > 0.0:
             nxt = jax.random.categorical(
                 key, logits / temperature, axis=-1).astype(jnp.int32)
@@ -337,13 +423,68 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         nxt = jnp.where(active, nxt, tok)
         if eos_token is not None:
             active = jnp.logical_and(active, nxt != eos_token)
-        return (nxt, cache, active), nxt
+        return (nxt, cache, active, tail), nxt
 
     keys = (jax.random.split(rng, num_steps) if temperature > 0.0
             else jnp.zeros((num_steps, 2), jnp.uint32))
-    (tok, cache, active), toks = jax.lax.scan(
-        step, (tokens, cache, active), keys)
+    (tok, cache, active, tail), toks = jax.lax.scan(
+        step, (tokens, cache, active, tail0 if use_tail else None),
+        (jnp.arange(num_steps, dtype=jnp.int32), keys))
+
+    if use_tail:
+        cache = dict(cache)
+        cache["k"], cache["v"] = _flush_tail(
+            cfg, cache["k"], cache["v"], tail[0], tail[1], base)
     return jnp.swapaxes(toks, 0, 1), cache, active
+
+
+def _flush_tail(cfg: DecoderConfig, k_cache, v_cache, k_tail, v_tail, base):
+    """Scatter the loop's tail window into the main cache.
+
+    One vmapped contiguous-span dynamic_update_slice per slot (a single
+    full-cache rewrite, amortized over the whole loop). Rows beyond a
+    slot's advanced length are garbage but land at positions >= lengths,
+    which attention never reads and the next admission overwrites.
+    Quantized caches quantize the window here (per-row scales).
+
+    If a slot's window would run past the cache end (a violation of the
+    loop's admission contract), the write is shifted-and-masked so earlier
+    rows are never corrupted: overflowing tail rows are dropped instead.
+    """
+    quantized = isinstance(k_cache, QTensor)
+
+    def write_span(c, t, b0):
+        # c (NL, KVH, S, D), t (NL, KVH, W, D): write t at row b0.
+        # DUS clamps start indices; guard against b0 + W > S shifting the
+        # window onto earlier valid rows by merging the clamped span.
+        w = t.shape[2]
+        s = c.shape[2]
+        start = jnp.minimum(b0, s - w)
+        shift = b0 - start  # 0 when the contract holds
+        cur = jax.lax.dynamic_slice(
+            c, (0, 0, start, 0), (c.shape[0], c.shape[1], w, c.shape[3]))
+        tp = jnp.pad(t, ((0, 0), (0, 0), (w, 0), (0, 0)))
+        t_shift = jax.lax.dynamic_slice(tp, (0, 0, w - shift, 0), t.shape)
+        rows = jnp.arange(w)[None, None, :, None]
+        merged = jnp.where(rows >= shift, t_shift.astype(c.dtype), cur)
+        return jax.lax.dynamic_update_slice(c, merged, (0, 0, start, 0))
+
+    vwrite = jax.vmap(write_span, in_axes=(1, 1, 0), out_axes=1)
+
+    if quantized:
+        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+
+        bits = 8 if k_cache.bits == 8 else -8
+        kq, kqs = quantize_kv(k_tail, bits)
+        vq, vqs = quantize_kv(v_tail, bits)
+        k_out = QTensor(vwrite(k_cache.values, kq, base),
+                        vwrite(k_cache.scales, kqs, base),
+                        bits=k_cache.bits)
+        v_out = QTensor(vwrite(v_cache.values, vq, base),
+                        vwrite(v_cache.scales, vqs, base),
+                        bits=v_cache.bits)
+        return k_out, v_out
+    return vwrite(k_cache, k_tail, base), vwrite(v_cache, v_tail, base)
 
 
 # ----------------------------------------------------------------------------

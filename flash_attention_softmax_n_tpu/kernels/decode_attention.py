@@ -163,9 +163,10 @@ def _decode_attn_stats(
     hd_p = _round_up(hd, LANES)
     g_p = max(8, _round_up(group, 8))
     if block_s is None:
-        # dense bf16 fits 512-row tiles comfortably; the int8 batched dot
-        # needs extra scoped VMEM for widened intermediates -> 256
-        block_s = 256 if int8_compute else 512
+        # 512-row tiles exceed the 16MB scoped-VMEM budget in some program
+        # compositions (batched-dot widening); 256 measures as fast or
+        # faster and always fits
+        block_s = 256
     block_s = min(block_s, _round_up(s_len, 128))
     s_p = _round_up(s_len, block_s)
     n_sb = s_p // block_s
@@ -293,6 +294,9 @@ def decode_attention_n(
     scale: Optional[float] = None,
     k_new: Optional[jax.Array] = None,
     v_new: Optional[jax.Array] = None,
+    k_tail: Optional[jax.Array] = None,
+    v_tail: Optional[jax.Array] = None,
+    tail_lengths: Optional[jax.Array] = None,
     block_s: Optional[int] = None,
     int8_compute: Optional[bool] = None,
     interpret: Optional[bool] = None,
@@ -342,7 +346,35 @@ def decode_attention_n(
             int8_compute=int8_compute, in_dtype=q.dtype, block_s=block_s,
             interpret=interpret)
 
-    # -- XLA epilogue: merge the self-term, apply +n once, normalize -------
+    # -- XLA epilogue: merge tail window + self-term, apply +n once --------
+    if k_tail is not None:
+        # recent-token window (B, KVH, W, hd), bf16, written at a SHARED
+        # ring index by the fused decode loop (engine_decode_loop) so the
+        # main cache needs no per-slot scatter inside the loop. Row j of
+        # the tail is position lengths[b] - tail_lengths[b] + j; only rows
+        # j < tail_lengths[b] are valid.
+        w = k_tail.shape[2]
+        cd_t = (jnp.float32 if k_tail.dtype == jnp.float32
+                else jnp.bfloat16)
+        s_t = jnp.einsum("bkge,bkwe->bkgw", qg.astype(cd_t),
+                         k_tail.astype(cd_t),
+                         preferred_element_type=jnp.float32)
+        valid_t = (jnp.arange(w)[None, None, None, :]
+                   < tail_lengths[:, None, None, None])
+        s_t = jnp.where(valid_t, s_t, NEG_INF)
+        m_t = jnp.max(s_t, axis=-1)
+        p_t = jnp.where(valid_t, jnp.exp(s_t - m_t[..., None]), 0.0)
+        l_t = jnp.sum(p_t, axis=-1)
+        acc_t = jnp.einsum("bkgw,bkwe->bkge", p_t.astype(cd_t),
+                           v_tail.astype(cd_t),
+                           preferred_element_type=jnp.float32)
+        m_next = jnp.maximum(m, m_t)
+        a1 = jnp.where(l > 0, jnp.exp(m - m_next), 0.0)
+        a2 = jnp.where(l_t > 0, jnp.exp(m_t - m_next), 0.0)
+        acc = acc * a1[..., None] + acc_t * a2[..., None]
+        l = l * a1 + l_t * a2
+        m = m_next
+
     if k_new is not None:
         s_self = jnp.einsum(
             "bkge,bke->bkg", qg, k_new.astype(jnp.float32),

@@ -158,3 +158,52 @@ class TestIO:
         assert loaded == results
         # indent=4 format parity with the reference io.py:13
         assert "    " in path.read_text()
+
+
+class TestPerplexity:
+    """analysis/evaluate.py: the Δppl-vs-fp16 instrument (BASELINE metric)."""
+
+    def _model(self):
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, init_decoder_params,
+        )
+        cfg = DecoderConfig(
+            vocab_size=61, d_model=32, n_layers=2, n_heads=4, n_kv_heads=4,
+            d_ff=64, max_seq_len=32, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="xla")
+        return cfg, init_decoder_params(cfg, jax.random.PRNGKey(0))
+
+    def test_uniform_model_matches_log_vocab(self):
+        # zeroed lm_head -> uniform logits -> ppl == vocab_size
+        from flash_attention_softmax_n_tpu.analysis import perplexity
+        cfg, params = self._model()
+        params = dict(params, lm_head=jnp.zeros_like(params["lm_head"]))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                  cfg.vocab_size)
+        ppl = perplexity(params, cfg, [toks])
+        assert abs(ppl - cfg.vocab_size) / cfg.vocab_size < 1e-4
+
+    def test_mask_excludes_padding(self):
+        from flash_attention_softmax_n_tpu.analysis import token_nll
+        cfg, params = self._model()
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                                  cfg.vocab_size)
+        full_nll, full_n = token_nll(params, cfg, toks)
+        mask = jnp.arange(16)[None, :] < 8
+        part_nll, part_n = token_nll(params, cfg, toks, mask)
+        assert int(full_n) == 15 and int(part_n) == 7
+        assert float(part_nll) < float(full_nll)
+
+    def test_delta_perplexity_int8_small(self):
+        from flash_attention_softmax_n_tpu.analysis import delta_perplexity
+        from flash_attention_softmax_n_tpu.quant import (
+            quantize_decoder_weights,
+        )
+        cfg, params = self._model()
+        qparams = quantize_decoder_weights(params, bits=8)
+        toks = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0,
+                                  cfg.vocab_size)
+        out = delta_perplexity(params, qparams, cfg, [toks])
+        assert out["ppl_dense"] > 1.0
+        # int8 weight-only on a random init: ppl moves by well under 5%
+        assert abs(out["relative"]) < 0.05

@@ -119,3 +119,118 @@ class TestEngine:
         eng = InferenceEngine(TINY, params, max_batch=1, max_len=16)
         with pytest.raises(ValueError):
             eng.submit(list(range(10)), max_new_tokens=10)
+
+
+class TestDecodeLoop:
+    """engine_decode_loop: the fused multi-step serving path.
+
+    num_steps >= 8 engages the tail-window mode (shared-index ring buffer +
+    one flush); it must be token-identical to per-step engine_decode for
+    dense caches and agree for quantized ones (within-window keys are
+    attended in bf16 — strictly more accurate than the per-step
+    quantize-then-read path, so token streams can only differ where the
+    quantization error itself flips a near-tie).
+    """
+
+    def _prefill(self, params, cache, prompts):
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import engine_prefill
+
+        pre = jax.jit(partial(engine_prefill, cfg=TINY))
+        for slot, p in enumerate(prompts):
+            toks = jnp.asarray([p], jnp.int32)
+            _, cache = pre(params=params, tokens=toks,
+                           true_len=jnp.asarray(len(p), jnp.int32),
+                           slot=jnp.asarray(slot, jnp.int32), cache=cache)
+        return cache
+
+    def _mk_cache(self, quantized, batch=4, max_len=64):
+        if quantized:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                init_quantized_kv_cache,
+            )
+            cache = init_quantized_kv_cache(TINY.n_layers, batch,
+                                            TINY.n_kv_heads, max_len,
+                                            TINY.head_dim, mode="int8")
+            cache.pop("length")
+        else:
+            shape = (TINY.n_layers, batch, TINY.n_kv_heads, max_len,
+                     TINY.head_dim)
+            cache = {"k": jnp.zeros(shape, TINY.dtype),
+                     "v": jnp.zeros(shape, TINY.dtype)}
+        cache["lengths"] = jnp.zeros((batch,), jnp.int32)
+        return cache
+
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_tail_loop_matches_per_step(self, params, quantized):
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode,
+            engine_decode_loop,
+        )
+
+        steps = 12  # >= 8 -> tail mode
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8, 9, 7, 9],
+                   [2, 7, 1]]
+        cache = self._prefill(params, self._mk_cache(quantized), prompts)
+        tok0 = jnp.asarray([11, 12, 13, 14], jnp.int32)
+        active = jnp.ones((4,), bool)
+
+        dec = jax.jit(partial(engine_decode, cfg=TINY))
+        c1, cur, seq = dict(cache), tok0, []
+        for _ in range(steps):
+            lg, c1 = dec(params=params, tokens=cur, cache=c1, active=active)
+            cur = jnp.argmax(lg, -1).astype(jnp.int32)
+            seq.append(cur)
+        seq = jnp.stack(seq, 1)
+
+        loop = jax.jit(partial(engine_decode_loop, cfg=TINY,
+                               num_steps=steps))
+        toks, c2, _ = loop(params=params, tokens=tok0, cache=dict(cache),
+                           active=active)
+
+        np.testing.assert_array_equal(np.asarray(c1["lengths"]),
+                                      np.asarray(c2["lengths"]))
+        if quantized:
+            # bf16 window vs int8 round-trip: allow rare near-tie flips
+            agree = float(jnp.mean((toks == seq).astype(jnp.float32)))
+            assert agree >= 0.9, f"token agreement {agree}"
+            d1 = c1["k"].values.astype(jnp.float32) * c1["k"].scales
+            d2 = c2["k"].values.astype(jnp.float32) * c2["k"].scales
+            # prefix (prefilled) region must be untouched and identical
+            np.testing.assert_allclose(np.asarray(d1[:, :, :, :3]),
+                                       np.asarray(d2[:, :, :, :3]))
+        else:
+            np.testing.assert_array_equal(np.asarray(toks), np.asarray(seq))
+            np.testing.assert_allclose(np.asarray(c1["k"]),
+                                       np.asarray(c2["k"]), atol=1e-5)
+
+    def test_eos_deactivation_in_tail_mode(self, params):
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode_loop,
+        )
+
+        cache = self._prefill(params, self._mk_cache(False),
+                              [[3, 1, 4], [9, 2, 6, 5], [5, 3], [2, 7, 1]])
+        tok0 = jnp.asarray([11, 12, 13, 14], jnp.int32)
+        active = jnp.ones((4,), bool)
+        loop = jax.jit(partial(engine_decode_loop, cfg=TINY, num_steps=10))
+        toks, cache, _ = loop(params=params, tokens=tok0, cache=dict(cache),
+                              active=active)
+        eos = int(toks[0, 2])  # force slot 0 to hit EOS at its 3rd token
+        loop2 = jax.jit(partial(engine_decode_loop, cfg=TINY, num_steps=10,
+                                eos_token=eos))
+        cache2 = self._prefill(params, self._mk_cache(False),
+                               [[3, 1, 4], [9, 2, 6, 5], [5, 3], [2, 7, 1]])
+        base = dict(cache2)["lengths"]
+        toks2, cache2, active2 = loop2(params=params, tokens=tok0,
+                                       cache=dict(cache2), active=active)
+        # slot 0 deactivates after emitting eos; its length stops advancing
+        assert not bool(active2[0])
+        assert int(cache2["lengths"][0]) == int(base[0]) + 3
+        # deactivated slots keep emitting their last token
+        assert all(int(t) == eos for t in np.asarray(toks2[0, 2:]))

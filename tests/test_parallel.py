@@ -180,8 +180,9 @@ class TestShardedServing:
         cache["lengths"] = jnp.full((B,), 8, jnp.int32)
         tok = jnp.arange(B, dtype=jnp.int32) + 3
         active = jnp.ones((B,), bool)
+        # num_steps=8 engages the tail-window (shard_map island) path
         ref, _, _ = jax.jit(partial(engine_decode_loop, cfg=cfg,
-                                    num_steps=6))(
+                                    num_steps=8))(
             params=params, tokens=tok, cache=dict(cache), active=active)
         return cfg, params, cache, tok, active, ref
 
@@ -196,8 +197,8 @@ class TestShardedServing:
         cfg, params, cache, tok, active, ref = self._setup(quantized)
         mesh = make_mesh({"data": 2, "model": 4})
         sp, sc = shard_engine_state(params, dict(cache), mesh)
-        loop = make_sharded_decode(cfg, mesh, num_steps=6, donate=False)
+        loop = make_sharded_decode(cfg, mesh, num_steps=8, donate=False)
         out, cache2, active2 = loop(sp, tok, sc, active)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         assert "data" in str(out.sharding.spec)
-        assert bool(jnp.all(cache2["lengths"] == cache["lengths"] + 6))
+        assert bool(jnp.all(cache2["lengths"] == cache["lengths"] + 8))
