@@ -36,9 +36,11 @@ def build_model(dtype=jnp.bfloat16):
         init_decoder_params,
     )
 
+    # TinyLlama-1.1B shape: the canonical Llama-style 1B decoder
+    # (BASELINE.json configs[3]), GQA 32 query / 4 kv heads
     cfg = DecoderConfig(
-        vocab_size=32000, d_model=2048, n_layers=16, n_heads=16,
-        n_kv_heads=16, d_ff=5632, max_seq_len=2048, softmax_n=1.0,
+        vocab_size=32000, d_model=2048, n_layers=22, n_heads=32,
+        n_kv_heads=4, d_ff=5632, max_seq_len=2048, softmax_n=1.0,
         dtype=dtype,
     )
     params = init_decoder_params(cfg, jax.random.PRNGKey(0))
@@ -134,7 +136,7 @@ def main():
     quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
 
     print(json.dumps({
-        "metric": "softmax1 1B decode tokens/sec/chip "
+        "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
                   "(INT8 weights + INT8 KV, continuous batching b=32)",
         "value": round(quant_tps, 1),
         "unit": "tokens/sec/chip",

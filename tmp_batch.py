@@ -11,8 +11,8 @@ from flash_attention_softmax_n_tpu.quant import quantize_decoder_weights
 from flash_attention_softmax_n_tpu.quant.kv_cache import init_quantized_kv_cache
 
 cfg = DecoderConfig(
-    vocab_size=32000, d_model=2048, n_layers=16, n_heads=16,
-    n_kv_heads=16, d_ff=5632, max_seq_len=2048, softmax_n=1.0,
+    vocab_size=32000, d_model=2048, n_layers=22, n_heads=32,
+    n_kv_heads=4, d_ff=5632, max_seq_len=2048, softmax_n=1.0,
     dtype=jnp.bfloat16,
 )
 params = init_decoder_params(cfg, jax.random.PRNGKey(0))
