@@ -51,8 +51,15 @@ def _qmm_kernel(bits: int, n_k_blocks: int, x_ref, w_ref, s_ref, o_ref, acc):
         # holds original rows (256g + i, 256g + 128 + i).
         bkp, bn = w.shape
         wg = w.reshape(bkp // 128, 128, bn)
-        lo = jnp.right_shift(jnp.left_shift(wg, 4), 4)
-        hi = jnp.right_shift(wg, 4)
+        # Mosaic can't legalize shifts on 8-bit vectors ('arith.shli'
+        # fails), so unpack in int32: byte -> unsigned, split nibbles,
+        # sign-extend each back to [-8, 7]
+        w32 = wg.astype(jnp.int32)  # 8-bit compares also fail to legalize
+        u = jnp.where(w32 < 0, w32 + 256, w32)
+        hi_u = u // 16
+        lo_u = u - hi_u * 16
+        lo = lo_u - 16 * (lo_u >= 8).astype(jnp.int32)
+        hi = hi_u - 16 * (hi_u >= 8).astype(jnp.int32)
         w = jnp.concatenate([lo, hi], axis=1).reshape(bkp * 2, bn)
     wt = w.astype(x.dtype)
     acc[...] += jax.lax.dot_general(
