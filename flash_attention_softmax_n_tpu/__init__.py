@@ -13,6 +13,9 @@ Public API mirrors the reference's top-level re-exports::
     )
 """
 
+import functools as _functools
+import warnings as _warnings
+
 from flash_attention_softmax_n_tpu.ops.functional import slow_attention_n, softmax_n
 from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
 
@@ -22,12 +25,28 @@ from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
 PALLAS_INSTALLED = True
 TRITON_INSTALLED = False  # no Triton on TPU; the Pallas kernel replaces it
 
+
+@_functools.wraps(flash_attention_n)
+def flash_attention_n_triton(*args, **kwargs):
+    """Migration alias for the reference's Triton entry point
+    (core/flash_attn_triton.py:339): routes to the Pallas kernel, which
+    covers the Triton path's feature set (real-valued n, fp16/bf16) plus
+    the gaps it documented (masks/bias/ALiBi, causal exact for all n)."""
+    _warnings.warn(
+        "flash_attention_n_triton is the reference API's name; on TPU it "
+        "routes to the Pallas kernel. Call flash_attention_n directly.",
+        stacklevel=2)
+    kwargs.setdefault("implementation", "pallas")
+    return flash_attention_n(*args, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
     "softmax_n",
     "slow_attention_n",
     "flash_attention_n",
+    "flash_attention_n_triton",
     "PALLAS_INSTALLED",
     "TRITON_INSTALLED",
 ]
