@@ -73,17 +73,29 @@ def bench_decode(cfg, params, *, kv_quantization, batch=32, prompt_len=128,
 
     from flash_attention_softmax_n_tpu.engine.engine import engine_decode_loop
 
-    prefill = jax.jit(partial(engine_prefill, cfg=cfg))
+    prefill = jax.jit(partial(engine_prefill, cfg=cfg),
+                      donate_argnames=("cache",))
 
     rng = jax.random.PRNGKey(1)
-    for slot in range(batch):
+
+    def admit(slot, rng):
         rng, sub = jax.random.split(rng)
         tokens = jax.random.randint(sub, (1, prompt_len), 0, cfg.vocab_size)
-        logits, cache = prefill(
-            params=params, tokens=tokens,
-            true_len=jnp.asarray(prompt_len, jnp.int32),
-            slot=jnp.asarray(slot, jnp.int32), cache=cache)
-    log(f"prefilled {batch} slots x {prompt_len} tokens")
+        out = prefill(params=params, tokens=tokens,
+                      true_len=jnp.asarray(prompt_len, jnp.int32),
+                      slot=jnp.asarray(slot, jnp.int32), cache=cache)
+        return out, rng
+
+    (logits, cache), rng = admit(0, rng)
+    sync(logits)
+    t0 = time.time()
+    for slot in range(1, batch):
+        (logits, cache), rng = admit(slot, rng)
+    sync(logits)
+    dt = time.time() - t0
+    log(f"prefilled {batch} slots x {prompt_len} tokens "
+        f"({(batch-1)*prompt_len/dt:.0f} tok/s admission, "
+        f"{dt/(batch-1)*1e3:.1f} ms/request warm)")
 
     active = jnp.ones((batch,), bool)
     tok = jnp.full((batch,), 17, jnp.int32)
@@ -120,6 +132,72 @@ def bench_decode(cfg, params, *, kv_quantization, batch=32, prompt_len=128,
     return tps
 
 
+def bench_attn_sol(cfg, *, batch=32, kv_len=512, quantized=True):
+    """BASELINE metric 'attn kernel % of SOL': decode attention in
+    isolation (all layers, the engine's routing) vs the analytic roofline."""
+    from functools import partial
+
+    from flash_attention_softmax_n_tpu.kernels.decode_attention import (
+        decode_attention_n,
+    )
+    from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+    from flash_attention_softmax_n_tpu.utils.profiling import (
+        attention_roofline,
+    )
+
+    nl, kvh, hd = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (batch, cfg.n_heads, hd), jnp.bfloat16)
+    kc = 0.3 * jax.random.normal(key, (nl, batch, kvh, kv_len, hd),
+                                 jnp.bfloat16)
+    vc = 0.3 * jax.random.normal(key, (nl, batch, kvh, kv_len, hd),
+                                 jnp.bfloat16)
+    lens = jnp.full((batch,), kv_len, jnp.int32)
+    if quantized:
+        kq, ks = quantize_kv(kc, 8)
+        vq, vs = quantize_kv(vc, 8)
+
+    REP = 20
+
+    @jax.jit
+    def run(q):
+        def step(q, _):
+            def layer(qq, xs):
+                if quantized:
+                    kk, sk, vv, sv = xs
+                    o = decode_attention_n(qq, kk, vv, lens, k_scales=sk,
+                                           v_scales=sv, softmax_n_param=1.0,
+                                           implementation="xla")
+                else:
+                    kk, vv = xs
+                    o = decode_attention_n(qq, kk, vv, lens,
+                                           softmax_n_param=1.0,
+                                           implementation="xla")
+                return o.astype(jnp.bfloat16), None
+            qq, _ = jax.lax.scan(layer, q,
+                                 (kq, ks, vq, vs) if quantized else (kc, vc))
+            return qq, None
+        q, _ = jax.lax.scan(step, q, None, length=REP)
+        return q
+
+    for _ in range(2):
+        sync(run(q))
+    t0 = time.time()
+    for _ in range(5):
+        out = run(q)
+    sync(out)
+    dt = (time.time() - t0) / 5 / REP / nl  # per layer
+    rf = attention_roofline(batch, cfg.n_heads, 1, kv_len, hd,
+                            dtype_bytes=1 if quantized else 2)
+    # roofline counts per-qhead kv bytes; GQA shares kv over groups
+    group = cfg.n_heads // kvh
+    sol = max(rf["t_compute"], rf["t_memory"] / group)
+    pct = 100.0 * sol / dt
+    log(f"attn kernel ({'int8' if quantized else 'bf16'} KV, b={batch}, "
+        f"S={kv_len}): {dt*1e6:.0f} us/layer, {pct:.0f}% of SOL")
+    return pct
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cfg, params = build_model()
@@ -134,6 +212,8 @@ def main():
     qparams = quantize_decoder_weights(params, bits=8)
     del params
     quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
+
+    bench_attn_sol(cfg, quantized=True)
 
     print(json.dumps({
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "

@@ -534,10 +534,12 @@ class InferenceEngine:
         self.cache["lengths"] = jnp.zeros((max_batch,), jnp.int32)
         self.cache.pop("length", None)
 
+        # cache donation keeps admission/decode updates in place — without
+        # it every prefill/step copies the whole KV cache
         self._prefill = jax.jit(
-            partial(engine_prefill, cfg=cfg),
-            static_argnames=())
-        self._decode = jax.jit(partial(engine_decode, cfg=cfg))
+            partial(engine_prefill, cfg=cfg), donate_argnames=("cache",))
+        self._decode = jax.jit(partial(engine_decode, cfg=cfg),
+                               donate_argnames=("cache",))
 
     # -- public API ---------------------------------------------------------
 
