@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quant", default="int8", choices=["none", "int8", "fp8"])
+    ap.add_argument("--loop-steps", type=int, default=16,
+                    help="fused decode chunk between scheduling points; "
+                         "0 = per-step decoding")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -59,7 +62,8 @@ def main():
         eng.submit(prompt, max_new_tokens=32)
 
     t0 = time.time()
-    finished = eng.run_until_done()
+    finished = eng.run_until_done(
+        loop_steps=args.loop_steps or None)
     dt = time.time() - t0
     total = sum(len(r.output) for r in finished)
     print(f"served {len(finished)} requests, {total} tokens "

@@ -124,24 +124,27 @@ def _write_cache(cache_kv, new, slot_or_zero, pos):
         cache_kv, new.astype(cache_kv.dtype), (slot_or_zero, 0, pos, 0))
 
 
-def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
-                   true_len: jax.Array, slot: jax.Array,
-                   cache: Dict) -> Tuple[jax.Array, Dict]:
-    """Prefill ONE slot with a (1, Lb) right-padded prompt.
+def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                         true_lens: jax.Array, slots: jax.Array,
+                         cache: Dict) -> Tuple[jax.Array, Dict]:
+    """Prefill ``nb`` slots with (nb, Lb) right-padded prompts in ONE pass.
 
-    Returns (last-token logits (V,), cache'). Padded positions beyond
-    ``true_len`` are masked out of attention and never read later (the slot
-    length is set to true_len).
+    Admission is weight-bound (every prefill streams all weights), so
+    batching queued requests through one forward amortizes the stream
+    across them. Duplicate slot entries are idempotent (the host pads a
+    partial admission group by repeating its last request). Returns
+    (last-true-token logits (nb, V), cache').
     """
-    _, lb = tokens.shape
+    nb, lb = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     positions = jnp.arange(lb)
 
-    # attention mask: causal AND key < true_len
-    key_valid = jnp.arange(lb)[None, :] < true_len
-    mask = jnp.logical_and(
-        jnp.tril(jnp.ones((lb, lb), bool)), key_valid)[None, None]
+    # attention mask per row: causal AND key < true_len
+    key_valid = (jnp.arange(lb)[None, None, :]
+                 < true_lens[:, None, None])  # (nb, 1, Lb)
+    mask = jnp.logical_and(jnp.tril(jnp.ones((lb, lb), bool))[None],
+                           key_valid)[:, None]  # (nb, 1, Lb, Lb)
 
     def attn_factory(store):
         def attn(q, k, v):
@@ -164,38 +167,56 @@ def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         return x, (store["k"], store["v"])
 
     x, (k_stack, v_stack) = jax.lax.scan(body, x, params["layers"])
+    # k_stack/v_stack: (nl, nb, KVH, Lb, hd)
 
     cache = dict(cache)
 
     def write_layer(cache_kv, new_stack):
-        # new_stack (nl, 1, KVH, Lb, hd) -> write each layer at (slot, 0)
         if isinstance(cache_kv, QTensor):
             from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
             bits = 8 if cache_kv.bits == 8 else -8
             values, scales = quantize_kv(new_stack, bits)
-            idx = (0, slot, 0, 0, 0)
-            return QTensor(
-                jax.lax.dynamic_update_slice(
-                    cache_kv.values,
-                    values[:, 0][:, None].astype(cache_kv.values.dtype), idx),
-                jax.lax.dynamic_update_slice(
-                    cache_kv.scales, scales[:, 0][:, None], idx),
-                bits=cache_kv.bits,
-            )
-        return jax.lax.dynamic_update_slice(
-            cache_kv, new_stack[:, 0][:, None].astype(cache_kv.dtype),
-            (0, slot, 0, 0, 0))
+            vals_out, scls_out = cache_kv.values, cache_kv.scales
+            for i in range(nb):  # nb is static; chained in-place DUS
+                idx = (0, slots[i], 0, 0, 0)
+                vals_out = jax.lax.dynamic_update_slice(
+                    vals_out, values[:, i][:, None].astype(vals_out.dtype),
+                    idx)
+                scls_out = jax.lax.dynamic_update_slice(
+                    scls_out, scales[:, i][:, None], idx)
+            return QTensor(vals_out, scls_out, bits=cache_kv.bits)
+        out = cache_kv
+        for i in range(nb):
+            out = jax.lax.dynamic_update_slice(
+                out, new_stack[:, i][:, None].astype(out.dtype),
+                (0, slots[i], 0, 0, 0))
+        return out
 
     cache["k"] = write_layer(cache["k"], k_stack)
     cache["v"] = write_layer(cache["v"], v_stack)
-    cache["lengths"] = cache["lengths"].at[slot].set(true_len)
+    cache["lengths"] = cache["lengths"].at[slots].set(true_lens)
 
-    # logits at the last true token
-    x_last = jax.lax.dynamic_slice(x, (0, true_len - 1, 0),
-                                   (1, 1, cfg.d_model))
+    # logits at each row's last true token
+    x_last = jnp.take_along_axis(
+        x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1)  # (nb,1,D)
     x_last = rms_norm(x_last, params["final_norm"], cfg.norm_eps)
     logits = _mm(x_last, params["lm_head"]).astype(jnp.float32)
-    return logits[0, 0], cache
+    return logits[:, 0], cache
+
+
+def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                   true_len: jax.Array, slot: jax.Array,
+                   cache: Dict) -> Tuple[jax.Array, Dict]:
+    """Prefill ONE slot with a (1, Lb) right-padded prompt.
+
+    Single-request wrapper over ``engine_prefill_batch``; padded positions
+    beyond ``true_len`` are masked out of attention and never read later.
+    Returns (last-token logits (V,), cache').
+    """
+    logits, cache = engine_prefill_batch(
+        params, cfg, tokens, jnp.reshape(true_len, (1,)),
+        jnp.reshape(slot, (1,)), cache)
+    return logits[0], cache
 
 
 def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
@@ -535,7 +556,8 @@ class InferenceEngine:
         # cache donation keeps admission/decode updates in place — without
         # it every prefill/step copies the whole KV cache
         self._prefill = jax.jit(
-            partial(engine_prefill, cfg=cfg), donate_argnames=("cache",))
+            partial(engine_prefill_batch, cfg=cfg),
+            donate_argnames=("cache",))
         self._decode = jax.jit(partial(engine_decode, cfg=cfg),
                                donate_argnames=("cache",))
 
@@ -584,41 +606,134 @@ class InferenceEngine:
                 self._next_token = self._next_token.at[i].set(tok)
         return finished
 
-    def run_until_done(self, max_steps: int = 100_000) -> List[Request]:
+    def run_until_done(self, max_steps: int = 100_000,
+                       loop_steps: Optional[int] = None) -> List[Request]:
+        """Drive all queued requests to completion.
+
+        ``loop_steps``: decode in fused on-device chunks of that many steps
+        between scheduling points (the serving fast path — removes the
+        per-token host round-trip). Falls back to per-step decoding for a
+        chunk when any active request samples with temperature > 0 (the
+        fused loop takes one shared temperature) or when a slot is too
+        close to ``max_len`` for a full chunk.
+        """
         done = []
-        for _ in range(max_steps):
+        steps_left = max_steps
+        while steps_left > 0:
+            if loop_steps is not None:
+                done.extend(self._admit())
+                if not any(s is not None for s in self.slots):
+                    if not self.queue:
+                        break
+                    continue
+                if self._can_loop(loop_steps):
+                    done.extend(self._loop_chunk(loop_steps))
+                    steps_left -= loop_steps
+                    continue
             done.extend(self.step())
+            steps_left -= 1
             if not self.queue and all(s is None for s in self.slots):
                 break
         return done
 
-    # -- internals ----------------------------------------------------------
+    # -- fused-loop serving internals ----------------------------------------
 
-    def _admit(self) -> List[Request]:
+    def _can_loop(self, loop_steps: int) -> bool:
+        if any(r is not None and r.temperature > 0 for r in self.slots):
+            return False
+        w = -(-loop_steps // 8) * 8
+        lengths = jax.device_get(self.cache["lengths"])
+        return all(self.slots[i] is None or int(lengths[i]) + w <= self.max_len
+                   for i in range(self.max_batch))
+
+    def _loop_chunk(self, loop_steps: int) -> List[Request]:
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode_loop,
+        )
+
+        if not hasattr(self, "_loops"):
+            self._loops = {}
+        if loop_steps not in self._loops:
+            self._loops[loop_steps] = jax.jit(
+                partial(engine_decode_loop, cfg=self.cfg,
+                        num_steps=loop_steps),
+                donate_argnames=("cache",))
+        active = jnp.asarray([r is not None for r in self.slots], bool)
+        toks, self.cache, _ = self._loops[loop_steps](
+            params=self.params, tokens=self._next_token, cache=self.cache,
+            active=active)
+        toks_host = jax.device_get(toks)
+
         finished = []
-        for i in range(self.max_batch):
-            if self.slots[i] is not None or not self.queue:
+        for i, req in enumerate(self.slots):
+            if req is None:
                 continue
-            req = self.queue.popleft()
-            lb = _bucket(len(req.prompt))
-            padded = req.prompt + [self.pad_token] * (lb - len(req.prompt))
-            tokens = jnp.asarray([padded], jnp.int32)
-            logits, self.cache = self._prefill(
-                params=self.params, tokens=tokens,
-                true_len=jnp.asarray(len(req.prompt), jnp.int32),
-                slot=jnp.asarray(i, jnp.int32), cache=self.cache)
-            tok = int(self._sample(logits[None], [req.temperature])[0])
-            req.output.append(tok)
-            self.slots[i] = req
-            self._slot_budget[i] = req.max_new_tokens - 1
-            if (req.max_new_tokens <= 1
-                    or (req.eos_token is not None and tok == req.eos_token)):
+            emitted = [int(t) for t in toks_host[i]]
+            take = min(self._slot_budget[i], len(emitted))
+            if req.eos_token is not None and req.eos_token in emitted[:take]:
+                take = emitted.index(req.eos_token) + 1
+            req.output.extend(emitted[:take])
+            self._slot_budget[i] -= take
+            # a slot truncated mid-chunk (budget/EOS) is always freed below,
+            # and re-admission prefills it from scratch — no cache rewind
+            # needed for the over-advanced lengths
+            if (self._slot_budget[i] <= 0
+                    or (req.eos_token is not None
+                        and req.output[-1] == req.eos_token)):
                 req.done = True
                 finished.append(req)
                 self.slots[i] = None
                 self._slot_budget[i] = 0
             else:
-                self._next_token = self._next_token.at[i].set(tok)
+                self._next_token = self._next_token.at[i].set(req.output[-1])
+        return finished
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self) -> List[Request]:
+        """Admit queued requests into free slots, prefilling same-bucket
+        groups in one batched forward (admission is weight-bound; batching
+        amortizes the weight stream across requests). Groups are padded to
+        a power of two by repeating the last request — duplicate slot
+        writes are idempotent — to bound the number of compiled shapes."""
+        finished = []
+        free = [i for i in range(self.max_batch) if self.slots[i] is None]
+        while free and self.queue:
+            bucket = _bucket(len(self.queue[0].prompt))
+            group: List[Tuple[int, Request]] = []
+            while (free and self.queue and len(group) < 8
+                   and _bucket(len(self.queue[0].prompt)) == bucket):
+                group.append((free.pop(0), self.queue.popleft()))
+            nb = 1
+            while nb < len(group):
+                nb *= 2
+            padded_group = group + [group[-1]] * (nb - len(group))
+            tokens = jnp.asarray(
+                [r.prompt + [self.pad_token] * (bucket - len(r.prompt))
+                 for _, r in padded_group], jnp.int32)
+            true_lens = jnp.asarray([len(r.prompt) for _, r in padded_group],
+                                    jnp.int32)
+            slots = jnp.asarray([i for i, _ in padded_group], jnp.int32)
+            logits, self.cache = self._prefill(
+                params=self.params, tokens=tokens, true_lens=true_lens,
+                slots=slots, cache=self.cache)
+            temps = [r.temperature for _, r in group]
+            toks = self._sample(logits[:len(group)], temps)
+            toks_host = jax.device_get(toks)
+            for (i, req), tok in zip(group, toks_host):
+                tok = int(tok)
+                req.output.append(tok)
+                self.slots[i] = req
+                self._slot_budget[i] = req.max_new_tokens - 1
+                if (req.max_new_tokens <= 1
+                        or (req.eos_token is not None
+                            and tok == req.eos_token)):
+                    req.done = True
+                    finished.append(req)
+                    self.slots[i] = None
+                    self._slot_budget[i] = 0
+                else:
+                    self._next_token = self._next_token.at[i].set(tok)
         return finished
 
     def _sample(self, logits: jax.Array, temps: List[float]) -> jax.Array:

@@ -234,3 +234,34 @@ class TestDecodeLoop:
         assert int(cache2["lengths"][0]) == int(base[0]) + 3
         # deactivated slots keep emitting their last token
         assert all(int(t) == eos for t in np.asarray(toks2[0, 2:]))
+
+
+class TestLoopServing:
+    """Host-engine fast path: run_until_done(loop_steps=N) must reproduce
+    the per-step engine token-for-token for greedy requests (chunked fused
+    decode + batched admission are pure scheduling changes)."""
+
+    def _run(self, params, loop_steps):
+        eng = InferenceEngine(TINY, params, max_batch=3, max_len=128)
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8], [2, 7],
+                   [8, 8, 1, 2, 3, 4]]
+        for j, p in enumerate(prompts):
+            eng.submit(p, max_new_tokens=7 + j,
+                       eos_token=0 if j == 2 else None)
+        done = (eng.run_until_done(loop_steps=loop_steps)
+                if loop_steps else eng.run_until_done())
+        return {r.request_id: r.output for r in done}
+
+    def test_loop_serving_matches_stepwise(self, params):
+        ref = self._run(params, None)
+        out = self._run(params, 8)
+        assert set(out) == set(ref)
+        for rid in ref:
+            assert out[rid] == ref[rid], f"request {rid} diverged"
+
+    def test_mixed_temperature_falls_back(self, params):
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        eng.submit([3, 1, 4], max_new_tokens=6)
+        eng.submit([9, 2], max_new_tokens=6, temperature=0.8)
+        done = eng.run_until_done(loop_steps=8)
+        assert len(done) == 2 and all(len(r.output) == 6 for r in done)
