@@ -81,7 +81,7 @@ class FlashConfig:
     is_causal: bool = False
     q_len: int = 0  # actual (pre-padding) query length
     kv_len: int = 0  # actual (pre-padding) key/value length
-    block_q: int = 512
+    block_q: int = 1024
     block_k: int = 1024
     has_bias: bool = False
     has_alibi: bool = False
@@ -559,7 +559,7 @@ def flash_attention_n_fused(
     bias: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     is_causal: bool = False,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,

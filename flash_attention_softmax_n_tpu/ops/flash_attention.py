@@ -89,7 +89,7 @@ def flash_attention_n(
     train: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     implementation: str = "auto",
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
 ) -> jax.Array:
     """Fused scaled-dot-product attention with softmax-N.
