@@ -14,7 +14,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from flash_attention_softmax_n_tpu import slow_attention_n, softmax_n
+from flash_attention_softmax_n_tpu import (
+    flash_attention_n,
+    slow_attention_n,
+    softmax_n,
+)
 from tests.common import (
     attention_analytic_answer,
     attention_analytic_causal_answer,
@@ -165,3 +169,39 @@ class TestSlowAttentionN:
         q, k, v = get_query_key_value(jax.random.PRNGKey(7), 2, 9, 8)
         out = slow_attention_n(q, k, v, softmax_dtype=jnp.bfloat16)
         assert out.dtype == jnp.bfloat16
+
+
+class TestBaselineParityAnchor:
+    """BASELINE.json configs[0]: the reference README's exact example shapes
+    (README.md:114-130) — q (6,1024,64), kv (6,1152,64) with Ev=32, n=1,
+    no mask, fp32. slow_attention_n is checked against an independent
+    numpy-computed softmax-N attention, and the fused path against it."""
+
+    def _inputs(self):
+        ks = jax.random.split(jax.random.PRNGKey(42), 3)
+        q = jax.random.normal(ks[0], (6, 1024, 64), jnp.float32)
+        k = jax.random.normal(ks[1], (6, 1152, 64), jnp.float32)
+        v = jax.random.normal(ks[2], (6, 1152, 32), jnp.float32)
+        return q, k, v
+
+    def test_slow_attention_matches_numpy(self):
+        import numpy as np
+
+        q, k, v = self._inputs()
+        out = slow_attention_n(q, k, v, softmax_n_param=1.0)
+        qn, kn, vn = np.asarray(q), np.asarray(k), np.asarray(v)
+        scores = qn @ kn.transpose(0, 2, 1) / np.sqrt(64.0)
+        shift = scores.max(-1, keepdims=True)
+        e = np.exp(scores - shift)
+        denom = 1.0 * np.exp(-shift) + e.sum(-1, keepdims=True)
+        ref = (e / denom) @ vn
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_fused_path_matches_oracle(self):
+        import numpy as np
+
+        q, k, v = self._inputs()
+        ref = slow_attention_n(q, k, v, softmax_n_param=1.0)
+        out = flash_attention_n(q, k, v, softmax_n_param=1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
