@@ -132,17 +132,36 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
 
 
 def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
-    """One transformer block. ``attn_fn(q, k, v) -> ctx`` closes over cache/mask."""
+    """One transformer block. ``attn_fn(q, k, v) -> ctx`` closes over cache/mask.
+
+    Supports fused projections (quant.fuse_decoder_projections): ``wqkv``
+    replaces wq/wk/wv and ``w_gu`` replaces w_gate/w_up — one weight
+    stream each, outputs split here. Decode matmuls are launch-overhead
+    bound, so fewer kernels is a direct win.
+    """
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
-    q = _split_heads(_mm(h, lp["wq"]), cfg.n_heads)
-    k = _split_heads(_mm(h, lp["wk"]), cfg.n_kv_heads)
-    v = _split_heads(_mm(h, lp["wv"]), cfg.n_kv_heads)
+    if "wqkv" in lp:
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        qkv = _mm(h, lp["wqkv"])
+        q = _split_heads(qkv[..., :qd], cfg.n_heads)
+        k = _split_heads(qkv[..., qd:qd + kvd], cfg.n_kv_heads)
+        v = _split_heads(qkv[..., qd + kvd:], cfg.n_kv_heads)
+    else:
+        q = _split_heads(_mm(h, lp["wq"]), cfg.n_heads)
+        k = _split_heads(_mm(h, lp["wk"]), cfg.n_kv_heads)
+        v = _split_heads(_mm(h, lp["wv"]), cfg.n_kv_heads)
     ctx, extras = attn_fn(q, k, v)
     attn_out = _mm(_merge_heads(ctx), lp["wo"])
     x = x + attn_out
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
-    mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
-              lp["w_down"])
+    if "w_gu" in lp:
+        gu = _mm(h, lp["w_gu"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        mlp = _mm(jax.nn.silu(gate) * up, lp["w_down"])
+    else:
+        mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
+                  lp["w_down"])
     x = x + mlp
     return x, attn_out, extras
 

@@ -51,6 +51,11 @@ def shard_engine_state(params: Dict, cache: Dict, mesh: Mesh
                        ) -> Tuple[Dict, Dict]:
     """Place params (TP over 'model') and KV cache (DP x TP) on the mesh."""
     _check_mesh(mesh)
+    if "wqkv" in params.get("layers", {}):
+        raise ValueError(
+            "fused projections (wqkv/w_gu) cannot be tensor-sharded: the "
+            "Megatron column split would cut across q/k/v boundaries. "
+            "Quantize without fuse_decoder_projections for TP serving.")
     params = shard_pytree(params, decoder_param_specs(params), mesh)
     cache = shard_pytree(cache, kv_cache_specs(cache), mesh)
     return params, cache

@@ -17,6 +17,7 @@ from flash_attention_softmax_n_tpu.quant.qtensor import (
     unpack_int4,
 )
 from flash_attention_softmax_n_tpu.quant.weights import (
+    fuse_decoder_projections,
     quantize_bert_weights,
     quantize_decoder_weights,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "pack_int4",
     "unpack_int4",
     "quantize_decoder_weights",
+    "fuse_decoder_projections",
     "quantize_bert_weights",
     "init_quantized_kv_cache",
     "quantize_kv",

@@ -209,3 +209,77 @@ class TestGates:
         assert set(k0) == set(k1) and len(k0) == 2
         for k in k0.values():
             assert np.isfinite(k)
+
+
+class TestFusedProjections:
+    """quant.fuse_decoder_projections: wqkv / w_gu fusion must be a
+    bit-exact reparameterization (concatenation along the output axis
+    commutes with the matmul and with per-output-channel quantization)."""
+
+    def test_fused_forward_bit_exact(self):
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, decoder_forward, init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.quant import (
+            fuse_decoder_projections,
+        )
+        cfg = DecoderConfig(
+            vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            d_ff=128, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="xla")
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                                  cfg.vocab_size)
+        ref = decoder_forward(params, cfg, toks)
+        out = decoder_forward(fuse_decoder_projections(params), cfg, toks)
+        assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+    def test_fused_quantized_decode(self):
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import engine_decode
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.quant import (
+            fuse_decoder_projections, quantize_decoder_weights,
+        )
+        cfg = DecoderConfig(
+            vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            d_ff=128, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="xla")
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        qp = quantize_decoder_weights(fuse_decoder_projections(params),
+                                      bits=8)
+        B = 2
+        shape = (cfg.n_layers, B, cfg.n_kv_heads, 64, cfg.head_dim)
+        cache = {"k": jnp.zeros(shape), "v": jnp.zeros(shape),
+                 "lengths": jnp.full((B,), 4, jnp.int32)}
+        lg, cache = jax.jit(partial(engine_decode, cfg=cfg))(
+            params=qp, tokens=jnp.asarray([1, 2], jnp.int32), cache=cache,
+            active=jnp.ones((B,), bool))
+        assert bool(jnp.all(jnp.isfinite(lg)))
+
+    def test_sharding_rejects_fused(self):
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.parallel import (
+            make_mesh, shard_engine_state,
+        )
+        from flash_attention_softmax_n_tpu.quant import (
+            fuse_decoder_projections,
+        )
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = DecoderConfig(
+            vocab_size=97, d_model=64, n_layers=2, n_heads=8, n_kv_heads=4,
+            d_ff=128, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32)
+        params = fuse_decoder_projections(
+            init_decoder_params(cfg, jax.random.PRNGKey(0)))
+        cache = {"k": jnp.zeros((2, 4, 4, 64, 8)),
+                 "v": jnp.zeros((2, 4, 4, 64, 8)),
+                 "lengths": jnp.zeros((4,), jnp.int32)}
+        with pytest.raises(ValueError, match="fused projections"):
+            shard_engine_state(params, cache,
+                               make_mesh({"data": 2, "model": 4}))
