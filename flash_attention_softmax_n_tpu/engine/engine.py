@@ -361,7 +361,7 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
     return logits[:, 0], cache, new_tail
 
 

@@ -35,7 +35,8 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _qmm_kernel(bits: int, n_k_blocks: int, x_ref, w_ref, s_ref, o_ref, acc):
+def _qmm_kernel(bits: int, act_quant: bool, n_k_blocks: int,
+                x_ref, xs_ref, w_ref, s_ref, o_ref, acc):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -61,16 +62,29 @@ def _qmm_kernel(bits: int, n_k_blocks: int, x_ref, w_ref, s_ref, o_ref, acc):
         lo = lo_u - 16 * (lo_u >= 8).astype(jnp.int32)
         hi = hi_u - 16 * (hi_u >= 8).astype(jnp.int32)
         w = jnp.concatenate([lo, hi], axis=1).reshape(bkp * 2, bn)
-    wt = w.astype(x.dtype)
-    acc[...] += jax.lax.dot_general(
-        x, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if act_quant:
+        # W8A8: both operands int8, MXU int32 accumulation — the cached
+        # weights are NEVER cast (the int8->bf16 VPU cast is otherwise
+        # ~as expensive as the weight DMA itself at decode batch sizes).
+        # int4 weights were unpacked to int8-range int32 above; narrow.
+        acc[...] += jax.lax.dot_general(
+            x, w.astype(jnp.int8) if w.dtype != jnp.int8 else w,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        wt = w.astype(x.dtype)
+        acc[...] += jax.lax.dot_general(
+            x, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(ik == n_k_blocks - 1)
     def _epilogue():
-        o_ref[...] = (acc[...] * s_ref[...].astype(jnp.float32)).astype(
-            o_ref.dtype
-        )
+        out = acc[...] * s_ref[...].astype(jnp.float32)
+        if act_quant:
+            out = out * xs_ref[...].astype(jnp.float32)  # (block_m, 1)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def quantized_matmul(
@@ -79,6 +93,7 @@ def quantized_matmul(
     w_scales: jax.Array,
     *,
     bits: int = 8,
+    act_quant: bool = False,
     block_m: int = 256,
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
@@ -90,6 +105,14 @@ def quantized_matmul(
     ``w_values``: int8 (K, N), or int4 packed (K//2, N) with nibble pairs
     along K (quant.pack_int4 layout). ``w_scales``: (1, N) or (N,)
     per-output-channel scales.
+
+    ``act_quant`` (W8A8): per-row symmetric int8 quantization of x, then
+    int8 x int8 MXU with int32 accumulation and a rank-1 dequant epilogue
+    (row scale x column scale). Exact per-tile factorization — the only
+    error is the activation rounding itself (~0.3% relative), which the
+    softmax-N outlier suppression exists to make safe (north star: "INT8/
+    FP8 activation quantization"). Skips the in-kernel int8->bf16 weight
+    cast, whose VPU cost rivals the weight DMA at decode batch sizes.
 
     int4 packing note: unpacking splits each byte into (lo, hi) nibbles that
     interleave as K-halves, so the packed weight must be produced by
@@ -103,6 +126,14 @@ def quantized_matmul(
     m, k = x.shape[-2], x.shape[-1]
     x2 = x.reshape(-1, k) if lead else x.reshape(m, k)
     m_total = x2.shape[0]
+
+    if act_quant:
+        xf = x2.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        x2 = jnp.clip(jnp.round(xf / x_scales), -128, 127).astype(jnp.int8)
+    else:
+        x_scales = jnp.ones((m_total, 1), jnp.float32)
     kw = w_values.shape[0] * (2 if bits == 4 else 1)
     n = w_values.shape[1]
     if kw != k:
@@ -115,7 +146,8 @@ def quantized_matmul(
             # overhead (not MXU) bounds it — take the whole N per step so
             # each k-tile DMA is megabytes (measured best on v5e), capped
             # so a double-buffered (block_k, block_n) int8 tile fits VMEM
-            block_n = min(_round_up(n, 128), (6 * 1024 * 1024) // block_k)
+            block_n = min(_round_up(n, 128),
+                          (11 * 1024 * 1024 // 2) // block_k)
         else:
             block_n = 512
     if bits == 4:
@@ -133,6 +165,8 @@ def quantized_matmul(
     kp = _round_up(k, block_k)
 
     xp = jnp.pad(x2, ((0, mp - m_total), (0, kp - k)))
+    xsp = jnp.pad(x_scales, ((0, mp - m_total), (0, 0)),
+                  constant_values=1.0)
     wp = jnp.pad(
         w_values,
         ((0, (kp - k) // (2 if bits == 4 else 1)), (0, np_ - n)),
@@ -143,10 +177,11 @@ def quantized_matmul(
     wk_block = block_k // 2 if bits == 4 else block_k
 
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, bits, grid[2]),
+        functools.partial(_qmm_kernel, bits, act_quant, grid[2]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((block_m, 1), lambda i, j, ik: (i, 0)),
             pl.BlockSpec((wk_block, block_n), lambda i, j, ik: (ik, j)),
             pl.BlockSpec((1, block_n), lambda i, j, ik: (0, j)),
         ],
@@ -162,7 +197,7 @@ def quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, wp, sp)
+    )(xp, xsp, wp, sp)
 
     out = out[:m_total, :n]
     return out.reshape(*lead, m, n) if lead else out

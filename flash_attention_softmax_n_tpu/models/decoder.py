@@ -56,6 +56,10 @@ class DecoderConfig:
     dtype: Any = jnp.bfloat16
     # kernel selection: 'pallas' on TPU, 'xla' exact fallback
     attn_implementation: str = "auto"
+    # activation quantization for QTensor matmuls: 8 -> W8A8/W4A8 (int8
+    # activations on the MXU, rank-1 dequant epilogue). Gate with
+    # quant.gates (softmax-N outlier suppression is what makes this safe).
+    act_bits: Any = None
 
     @property
     def head_dim(self) -> int:
@@ -90,12 +94,13 @@ def init_decoder_params(cfg: DecoderConfig, rng: jax.Array) -> Dict:
     }
 
 
-def _mm(x: jax.Array, w) -> jax.Array:
+def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
     """Matmul dispatching on weight type: dense array or quantized QTensor.
 
     QTensor weights route to the fused Pallas dequant-matmul
     (kernels/quant_matmul.py) for INT8/INT4; FP8 dequantizes inline (XLA
-    fuses the cast into the matmul).
+    fuses the cast into the matmul). ``act_bits=8`` additionally quantizes
+    the activations per row (W8A8/W4A8 — cfg.act_bits).
     """
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor, dequantize
 
@@ -108,7 +113,8 @@ def _mm(x: jax.Array, w) -> jax.Array:
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul,
         )
-        return quantized_matmul(x, w.values, w.scales, bits=w.bits)
+        return quantized_matmul(x, w.values, w.scales, bits=w.bits,
+                                act_quant=act_bits == 8)
     return x @ w
 
 
@@ -139,29 +145,30 @@ def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
     stream each, outputs split here. Decode matmuls are launch-overhead
     bound, so fewer kernels is a direct win.
     """
+    ab = cfg.act_bits
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
     if "wqkv" in lp:
         qd = cfg.n_heads * cfg.head_dim
         kvd = cfg.n_kv_heads * cfg.head_dim
-        qkv = _mm(h, lp["wqkv"])
+        qkv = _mm(h, lp["wqkv"], ab)
         q = _split_heads(qkv[..., :qd], cfg.n_heads)
         k = _split_heads(qkv[..., qd:qd + kvd], cfg.n_kv_heads)
         v = _split_heads(qkv[..., qd + kvd:], cfg.n_kv_heads)
     else:
-        q = _split_heads(_mm(h, lp["wq"]), cfg.n_heads)
-        k = _split_heads(_mm(h, lp["wk"]), cfg.n_kv_heads)
-        v = _split_heads(_mm(h, lp["wv"]), cfg.n_kv_heads)
+        q = _split_heads(_mm(h, lp["wq"], ab), cfg.n_heads)
+        k = _split_heads(_mm(h, lp["wk"], ab), cfg.n_kv_heads)
+        v = _split_heads(_mm(h, lp["wv"], ab), cfg.n_kv_heads)
     ctx, extras = attn_fn(q, k, v)
-    attn_out = _mm(_merge_heads(ctx), lp["wo"])
+    attn_out = _mm(_merge_heads(ctx), lp["wo"], ab)
     x = x + attn_out
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
     if "w_gu" in lp:
-        gu = _mm(h, lp["w_gu"])
+        gu = _mm(h, lp["w_gu"], ab)
         gate, up = jnp.split(gu, 2, axis=-1)
-        mlp = _mm(jax.nn.silu(gate) * up, lp["w_down"])
+        mlp = _mm(jax.nn.silu(gate) * up, lp["w_down"], ab)
     else:
-        mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"])) * _mm(h, lp["w_up"]),
-                  lp["w_down"])
+        mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"], ab)) * _mm(h, lp["w_up"], ab),
+                  lp["w_down"], ab)
     x = x + mlp
     return x, attn_out, extras
 
@@ -202,7 +209,7 @@ def decoder_forward(
 
     x, tap_stack = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
 
     if collect_taps:
         taps = {f"layers.{i}.attention.output": tap_stack[i]
@@ -301,7 +308,7 @@ def prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     cache["length"] = jnp.asarray(l, jnp.int32)
 
     x = rms_norm(x[:, -1:], params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
     return logits[:, 0], cache
 
 
@@ -379,7 +386,7 @@ def decode_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
     cache["length"] = pos + 1
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
     return logits[:, 0], cache
 
 

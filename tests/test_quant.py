@@ -283,3 +283,47 @@ class TestFusedProjections:
         with pytest.raises(ValueError, match="fused projections"):
             shard_engine_state(params, cache,
                                make_mesh({"data": 2, "model": 4}))
+
+
+class TestActivationQuantization:
+    """W8A8/W4A8 (cfg.act_bits=8): per-row int8 activations into the int8
+    MXU with a rank-1 dequant epilogue — the north star's 'INT8 activation
+    quantization', gated by the outlier analysis."""
+
+    def test_kernel_w8a8_close_to_dequant(self):
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 384), jnp.float32)
+        qt = quantize(w, bits=8, axis=0)
+        ref = x @ (qt.values.astype(jnp.float32) * qt.scales)
+        out = quantized_matmul(x, qt.values, qt.scales, bits=8,
+                               act_quant=True)
+        rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.02  # activation rounding only
+
+    def test_w8a8_decoder_ppl_delta_small(self):
+        import dataclasses
+
+        from flash_attention_softmax_n_tpu.analysis import delta_perplexity
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.quant import (
+            quantize_decoder_weights,
+        )
+        cfg = DecoderConfig(
+            vocab_size=61, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4,
+            d_ff=128, max_seq_len=32, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="xla")
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_weights(params, bits=8)
+        toks = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0,
+                                  cfg.vocab_size)
+        # evaluate the quantized model W8A8 vs the dense reference
+        from flash_attention_softmax_n_tpu.analysis import perplexity
+        ppl_dense = perplexity(params, cfg, [toks])
+        cfg8 = dataclasses.replace(cfg, act_bits=8)
+        ppl_w8a8 = perplexity(qparams, cfg8, [toks])
+        assert abs(ppl_w8a8 - ppl_dense) / ppl_dense < 0.08
