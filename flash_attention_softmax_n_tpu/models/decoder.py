@@ -60,6 +60,10 @@ class DecoderConfig:
     # activations on the MXU, rank-1 dequant epilogue). Gate with
     # quant.gates (softmax-N outlier suppression is what makes this safe).
     act_bits: Any = None
+    # gradient rematerialization: recompute each layer in the backward
+    # pass instead of storing its activations — O(1) activation memory in
+    # depth, the standard long-sequence training trade (jax.checkpoint)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -207,6 +211,8 @@ def decoder_forward(
         x, attn_out, _ = _layer(cfg, (cos, sin), x, lp, attn)
         return x, attn_out if collect_taps else 0
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, tap_stack = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)

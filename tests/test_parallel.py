@@ -202,3 +202,25 @@ class TestShardedServing:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         assert "data" in str(out.sharding.spec)
         assert bool(jnp.all(cache2["lengths"] == cache["lengths"] + 8))
+
+
+class TestRemat:
+    """cfg.remat wraps each scanned layer in jax.checkpoint: identical
+    loss and gradients, O(1) activation memory in depth."""
+
+    def test_remat_grads_match(self):
+        from flash_attention_softmax_n_tpu.parallel import causal_lm_loss
+
+        cfg = dataclasses.replace(TINY, remat=False)
+        cfg_r = dataclasses.replace(TINY, remat=True)
+        from flash_attention_softmax_n_tpu.models import init_decoder_params
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0,
+                                  cfg.vocab_size)
+        l0, g0 = jax.value_and_grad(causal_lm_loss)(params, cfg, toks)
+        l1, g1 = jax.value_and_grad(causal_lm_loss)(params, cfg_r, toks)
+        assert abs(float(l0) - float(l1)) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
