@@ -7,11 +7,13 @@ hosts"): a slot-based serving engine with TPU-friendly static shapes —
     KV cache (dense bf16, INT8, or FP8 via quant/kv_cache.py);
   * per-slot lengths/active masks as device vectors (no shape changes,
     no recompilation as requests come and go);
-  * admission by per-slot prefill (compiled once per prompt-length bucket),
-    decode as ONE batched step over all slots per iteration;
+  * admission by BATCHED prefill (same-bucket requests share one weight
+    stream; compiled per (group-size, bucket)), decode as one batched step
+    — or as fused multi-step on-device chunks between scheduling points
+    (run_until_done(loop_steps=N), the serving fast path);
   * greedy or temperature sampling, EOS + max-token termination;
-  * optional tensor-parallel params over a mesh ("model" axis) — the cache
-    shards over heads, admission/decode are pjit-compiled SPMD programs.
+  * tensor/data-parallel serving over a mesh via parallel/serving.py (the
+    cache shards over 'data' slots x 'model' heads).
 
 The request queue and slot bookkeeping are host-side Python (cheap,
 asynchronous with device compute); everything per-token is compiled.
@@ -40,13 +42,9 @@ from flash_attention_softmax_n_tpu.models.layers import (
     rope_frequencies,
 )
 from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
-from flash_attention_softmax_n_tpu.ops.functional import softmax_n
 from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
 __all__ = ["Request", "InferenceEngine"]
-
-NEG_INF = -1e30
-
 
 @dataclasses.dataclass
 class Request:
@@ -104,24 +102,6 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
             q, k_cache.values, v_cache.values, lengths,
             k_scales=k_cache.scales, v_scales=v_cache.scales, **kwargs)
     return decode_attention_n(q, k_cache, v_cache, lengths, **kwargs)
-
-
-def _write_cache(cache_kv, new, slot_or_zero, pos):
-    """Write new (b, KVH, L, hd) at (slot, pos). Quantization-aware."""
-    if isinstance(cache_kv, QTensor):
-        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
-
-        bits = 8 if cache_kv.bits == 8 else -8
-        values, scales = quantize_kv(new, bits)
-        idx = (slot_or_zero, 0, pos, 0)
-        return QTensor(
-            jax.lax.dynamic_update_slice(
-                cache_kv.values, values.astype(cache_kv.values.dtype), idx),
-            jax.lax.dynamic_update_slice(cache_kv.scales, scales, idx),
-            bits=cache_kv.bits,
-        )
-    return jax.lax.dynamic_update_slice(
-        cache_kv, new.astype(cache_kv.dtype), (slot_or_zero, 0, pos, 0))
 
 
 def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
