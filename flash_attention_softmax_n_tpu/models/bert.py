@@ -24,6 +24,8 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from flash_attention_softmax_n_tpu.models.decoder import _mm
+
 from flash_attention_softmax_n_tpu.models.layers import gelu, layer_norm
 from flash_attention_softmax_n_tpu.ops.functional import softmax_n
 
@@ -92,9 +94,9 @@ def _self_attention(cfg: BertConfig, h: jax.Array, lp: Dict,
     def heads(x):
         return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
 
-    q = heads(h @ lp["q_w"] + lp["q_b"])
-    k = heads(h @ lp["k_w"] + lp["k_b"])
-    v = heads(h @ lp["v_w"] + lp["v_b"])
+    q = heads(_mm(h, lp["q_w"]) + lp["q_b"])
+    k = heads(_mm(h, lp["k_w"]) + lp["k_b"])
+    v = heads(_mm(h, lp["v_w"]) + lp["v_b"])
 
     scores = jnp.einsum("bhle,bhse->bhls", q, k,
                         preferred_element_type=jnp.float32)
@@ -140,11 +142,11 @@ def bert_forward(
 
     def body(x, lp):
         ctx = _self_attention(cfg, x, lp, bias)
-        attn_out = ctx @ lp["attn_out_w"] + lp["attn_out_b"]
+        attn_out = _mm(ctx, lp["attn_out_w"]) + lp["attn_out_b"]
         x = layer_norm(attn_out + x, lp["attn_ln_scale"], lp["attn_ln_bias"],
                        cfg.layer_norm_eps)
-        inter = gelu(x @ lp["inter_w"] + lp["inter_b"])
-        out = inter @ lp["out_w"] + lp["out_b"]
+        inter = gelu(_mm(x, lp["inter_w"]) + lp["inter_b"])
+        out = _mm(inter, lp["out_w"]) + lp["out_b"]
         x = layer_norm(out + x, lp["out_ln_scale"], lp["out_ln_bias"],
                        cfg.layer_norm_eps)
         return x, attn_out if collect_taps else 0

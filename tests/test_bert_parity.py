@@ -104,3 +104,24 @@ class TestHFParity:
         assert set(taps) == {f"encoder.layer.{i}.attention.output"
                              for i in range(2)}
         assert taps["encoder.layer.0.attention.output"].shape == (2, 10, 32)
+
+
+class TestBertQuantizedInference:
+    """BASELINE configs[2]: BERT softmax-1 surgery + INT8 weight-only
+    inference — the quantized encoder must track the dense one closely."""
+
+    def test_int8_bert_close_to_dense(self, tiny_hf_bert):
+        from flash_attention_softmax_n_tpu.quant import quantize_bert_weights
+        from flash_attention_softmax_n_tpu.surgery import from_pretrained_hf
+
+        cfg, params = from_pretrained_hf(tiny_hf_bert, softmax_n_param=1.0)
+        qparams = quantize_bert_weights(params, bits=8)
+        ids = jnp.asarray([[101, 2023, 2003, 1037, 3231, 102]], jnp.int32)
+        mask = jnp.ones_like(ids)
+        dense = bert_forward(params, cfg, ids,
+                             attention_mask=mask)["last_hidden_state"]
+        quant = bert_forward(qparams, cfg, ids,
+                             attention_mask=mask)["last_hidden_state"]
+        rel = (float(jnp.max(jnp.abs(quant - dense)))
+               / float(jnp.max(jnp.abs(dense))))
+        assert rel < 0.05
