@@ -505,8 +505,17 @@ class InferenceEngine:
     def __init__(self, cfg: DecoderConfig, params: Dict, *,
                  max_batch: int = 8, max_len: Optional[int] = None,
                  kv_quantization: Optional[str] = None,
-                 pad_token: int = 0):
+                 pad_token: int = 0, mesh=None):
+        """``mesh``: a jax Mesh with 'data' and 'model' axes — the engine
+        then serves tensor/data-parallel (weights Megatron-sharded, slots +
+        cache on 'data'; see parallel/serving.py). max_batch must divide by
+        the data-axis size and n_kv_heads by the model-axis size."""
+        if mesh is not None:
+            # the prefill path uses the Pallas flash kernel, which XLA's
+            # SPMD partitioner cannot split — force the XLA attention
+            cfg = dataclasses.replace(cfg, attn_implementation="xla")
         self.cfg = cfg
+        self.mesh = mesh
         self.params = params
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq_len
@@ -533,12 +542,19 @@ class InferenceEngine:
         self.cache["lengths"] = jnp.zeros((max_batch,), jnp.int32)
         self.cache.pop("length", None)
 
+        if mesh is not None:
+            from flash_attention_softmax_n_tpu.parallel.serving import (
+                shard_engine_state,
+            )
+            self.params, self.cache = shard_engine_state(
+                self.params, self.cache, mesh)
+
         # cache donation keeps admission/decode updates in place — without
         # it every prefill/step copies the whole KV cache
         self._prefill = jax.jit(
             partial(engine_prefill_batch, cfg=cfg),
             donate_argnames=("cache",))
-        self._decode = jax.jit(partial(engine_decode, cfg=cfg),
+        self._decode = jax.jit(partial(engine_decode, cfg=cfg, mesh=mesh),
                                donate_argnames=("cache",))
 
     # -- public API ---------------------------------------------------------
@@ -636,7 +652,7 @@ class InferenceEngine:
         if loop_steps not in self._loops:
             self._loops[loop_steps] = jax.jit(
                 partial(engine_decode_loop, cfg=self.cfg,
-                        num_steps=loop_steps),
+                        num_steps=loop_steps, mesh=self.mesh),
                 donate_argnames=("cache",))
         active = jnp.asarray([r is not None for r in self.slots], bool)
         toks, self.cache, _ = self._loops[loop_steps](

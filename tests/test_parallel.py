@@ -224,3 +224,30 @@ class TestRemat:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestMeshedInferenceEngine:
+    """InferenceEngine(mesh=...): the full host serving loop (batched
+    admission + fused chunks) runs TP x DP and must be token-identical to
+    the single-device engine."""
+
+    def test_engine_on_mesh_matches_single_device(self):
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.engine import InferenceEngine
+        from flash_attention_softmax_n_tpu.models import init_decoder_params
+
+        cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8], [2, 7]]
+
+        def run(mesh):
+            eng = InferenceEngine(cfg, params, max_batch=4, max_len=64,
+                                  mesh=mesh)
+            for j, p in enumerate(prompts):
+                eng.submit(p, max_new_tokens=6 + j)
+            done = eng.run_until_done(loop_steps=8)
+            return {r.request_id: r.output for r in done}
+
+        ref = run(None)
+        out = run(make_mesh({"data": 2, "model": 4}))
+        assert out == ref
