@@ -154,7 +154,7 @@ class TestShardedServing:
     is SPMD-partitioned.
     """
 
-    def _setup(self, quantized):
+    def _setup(self, mode):
         from functools import partial
 
         from flash_attention_softmax_n_tpu.engine.engine import (
@@ -164,12 +164,12 @@ class TestShardedServing:
         cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4, d_model=64)
         params = init_decoder_params(cfg, jax.random.PRNGKey(0))
         B, S = 4, 64
-        if quantized:
+        if mode is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
                 init_quantized_kv_cache,
             )
             cache = init_quantized_kv_cache(cfg.n_layers, B, cfg.n_kv_heads,
-                                            S, cfg.head_dim, mode="int8")
+                                            S, cfg.head_dim, mode=mode)
             cache.pop("length")
         else:
             shape = (cfg.n_layers, B, cfg.n_kv_heads, S, cfg.head_dim)
@@ -186,15 +186,15 @@ class TestShardedServing:
             params=params, tokens=tok, cache=dict(cache), active=active)
         return cfg, params, cache, tok, active, ref
 
-    @pytest.mark.parametrize("quantized", [False, True])
-    def test_sharded_decode_matches_single_device(self, quantized):
+    @pytest.mark.parametrize("mode", [None, "int8", "fp8"])
+    def test_sharded_decode_matches_single_device(self, mode):
         require_devices(8)
         from flash_attention_softmax_n_tpu.parallel import (
             make_sharded_decode,
             shard_engine_state,
         )
 
-        cfg, params, cache, tok, active, ref = self._setup(quantized)
+        cfg, params, cache, tok, active, ref = self._setup(mode)
         mesh = make_mesh({"data": 2, "model": 4})
         sp, sc = shard_engine_state(params, dict(cache), mesh)
         loop = make_sharded_decode(cfg, mesh, num_steps=8, donate=False)
