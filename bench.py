@@ -47,7 +47,7 @@ def build_model(dtype=jnp.bfloat16):
     return cfg, params
 
 
-def bench_decode(cfg, params, *, kv_quantization, batch=64, prompt_len=128,
+def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
                  decode_steps=64, max_len=512):
     """tokens/sec for continuous-batching decode, all slots active."""
     from functools import partial
@@ -217,7 +217,7 @@ def main():
 
     print(json.dumps({
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
-                  "(INT8 weights + INT8 KV, continuous batching b=64)",
+                  "(INT8 weights + INT8 KV, continuous batching b=128)",
         "value": round(quant_tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(quant_tps / dense_tps, 3),

@@ -141,13 +141,16 @@ def quantized_matmul(
     if block_k is None:
         block_k = 512
     if block_n is None:
-        if m_total <= 32:
+        if m_total <= 256:
             # decode regime: the matmul is a pure weight-stream and grid
             # overhead (not MXU) bounds it — take the whole N per step so
             # each k-tile DMA is megabytes (measured best on v5e), capped
-            # so a double-buffered (block_k, block_n) int8 tile fits VMEM
+            # so the scoped-VMEM budget holds: double-buffered int8 weight
+            # tiles (2*bk*bn) plus f32 acc + bf16 out (~6*bm*bn)
+            bm = min(256, _round_up(m_total, 8))
+            budget = 11 * 1024 * 1024
             block_n = min(_round_up(n, 128),
-                          (11 * 1024 * 1024 // 2) // block_k)
+                          (budget // (2 * block_k + 6 * bm)) // 128 * 128)
         else:
             block_n = 512
     if bits == 4:
