@@ -53,8 +53,7 @@ def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
     from functools import partial
 
     from flash_attention_softmax_n_tpu.engine.engine import (
-        engine_decode,
-        engine_prefill,
+        engine_prefill_batch,
     )
 
     if kv_quantization:
@@ -73,29 +72,34 @@ def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
 
     from flash_attention_softmax_n_tpu.engine.engine import engine_decode_loop
 
-    prefill = jax.jit(partial(engine_prefill, cfg=cfg),
+    prefill = jax.jit(partial(engine_prefill_batch, cfg=cfg),
                       donate_argnames=("cache",))
 
     rng = jax.random.PRNGKey(1)
+    group = 8  # requests per batched admission (engine._admit group size)
 
-    def admit(slot, rng):
+    def admit(slot0, rng):
         rng, sub = jax.random.split(rng)
-        tokens = jax.random.randint(sub, (1, prompt_len), 0, cfg.vocab_size)
-        out = prefill(params=params, tokens=tokens,
-                      true_len=jnp.asarray(prompt_len, jnp.int32),
-                      slot=jnp.asarray(slot, jnp.int32), cache=cache)
+        tokens = jax.random.randint(sub, (group, prompt_len), 0,
+                                    cfg.vocab_size)
+        out = prefill(
+            params=params, tokens=tokens,
+            true_lens=jnp.full((group,), prompt_len, jnp.int32),
+            slots=jnp.arange(slot0, slot0 + group, dtype=jnp.int32),
+            cache=cache)
         return out, rng
 
     (logits, cache), rng = admit(0, rng)
     sync(logits)
     t0 = time.time()
-    for slot in range(1, batch):
-        (logits, cache), rng = admit(slot, rng)
+    for slot0 in range(group, batch, group):
+        (logits, cache), rng = admit(slot0, rng)
     sync(logits)
     dt = time.time() - t0
-    log(f"prefilled {batch} slots x {prompt_len} tokens "
-        f"({(batch-1)*prompt_len/dt:.0f} tok/s admission, "
-        f"{dt/(batch-1)*1e3:.1f} ms/request warm)")
+    n_req = batch - group
+    log(f"prefilled {batch} slots x {prompt_len} tokens, batched x{group} "
+        f"({n_req*prompt_len/dt:.0f} tok/s admission, "
+        f"{dt/n_req*1e3:.1f} ms/request warm)")
 
     active = jnp.ones((batch,), bool)
     tok = jnp.full((batch,), 17, jnp.int32)
@@ -198,6 +202,47 @@ def bench_attn_sol(cfg, *, batch=32, kv_len=512, quantized=True):
     return pct
 
 
+def bench_prefill_sol(cfg, *, batch=2, seq=2048, heads=None, head_dim=None):
+    """Pallas flash-attention-N kernel (the prefill/self-attention path)
+    vs the analytic roofline — the reference's headline kernel."""
+    from flash_attention_softmax_n_tpu.ops.flash_attention import (
+        flash_attention_n,
+    )
+    from flash_attention_softmax_n_tpu.utils.profiling import (
+        attention_roofline,
+    )
+
+    key = jax.random.PRNGKey(0)
+    h, hd = heads or cfg.n_heads, head_dim or cfg.head_dim
+    q = 0.5 * jax.random.normal(key, (batch, h, seq, hd), jnp.bfloat16)
+    k = 0.5 * jax.random.normal(key, (batch, h, seq, hd), jnp.bfloat16)
+    v = 0.5 * jax.random.normal(key, (batch, h, seq, hd), jnp.bfloat16)
+    REP = 10
+
+    @jax.jit
+    def run(q, k, v):
+        def step(q, _):
+            o = flash_attention_n(q, k, v, softmax_n_param=cfg.softmax_n,
+                                  is_causal=True, implementation="pallas")
+            return o.astype(q.dtype), None
+        q, _ = jax.lax.scan(step, q, None, length=REP)
+        return q
+
+    for _ in range(2):
+        sync(run(q, k, v))
+    t0 = time.time()
+    for _ in range(5):
+        out = run(q, k, v)
+    sync(out)
+    dt = (time.time() - t0) / 5 / REP
+    rf = attention_roofline(batch, h, seq, seq, hd, causal=True,
+                            dtype_bytes=2)
+    pct = 100.0 * rf["sol_time"] / dt
+    log(f"flash kernel (prefill, bf16, B{batch} H{h} L{seq} hd{hd}): "
+        f"{dt*1e3:.2f} ms, {pct:.0f}% of SOL ({rf['bound']}-bound)")
+    return pct
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cfg, params = build_model()
@@ -214,6 +259,8 @@ def main():
     quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
 
     bench_attn_sol(cfg, quantized=True)
+    bench_prefill_sol(cfg)            # model geometry (hd=64: lanes padded)
+    bench_prefill_sol(cfg, heads=16, head_dim=128)  # kernel-native geometry
 
     print(json.dumps({
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
