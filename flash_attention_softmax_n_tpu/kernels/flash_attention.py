@@ -196,19 +196,23 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         slope = a_ref[0, 0] if a_ref is not None else None
         s = _scores(cfg, q, k, bias, slope, iq, ik)
 
-        m_prev = m_scr[...]  # (block_q, LANES), lane-replicated
-        l_prev = l_scr[...]
+        # running stats live lane-replicated in scratch, but the update
+        # math runs on single-lane (block_q, 1) slices — the replicated
+        # exp/mul on (block_q, LANES) was ~128x redundant VPU work
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_cur)  # broadcast to (block_q, LANES)
+        m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scr[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
+        p = jnp.exp(s - m_next)
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        acc_scr[...] = acc_scr[...] * alpha + pv
 
     if cfg.is_causal:
         pl.when(_block_visible(cfg, iq, ik))(_body)
