@@ -599,7 +599,10 @@ def flash_attention_n_fused(
     block_k = min(block_k, _round_up(kv_len, 128))
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
-    d_p = _round_up(d, 128)
+    # head_dim: Pallas allows a last block dim equal to the (sub-128) array
+    # dim, so common small head dims run UNPADDED — padding 64 -> 128 would
+    # double every q/k/v DMA byte and materialize padded copies in HBM
+    d_p = d if d in (32, 64) else _round_up(d, 128)
 
     cfg = FlashConfig(
         n=float(softmax_n_param),
