@@ -105,6 +105,28 @@ class TestMosaicLowering:
             scale=sc, implementation="pallas"))(q)
         assert float(jnp.max(jnp.abs(o8.astype(jnp.float32) - ref))) < 0.02
 
+    def test_flash_attention_fwd_bwd_hd64_unpadded(self):
+        # regression guard: sub-128 head dims run with last block dim ==
+        # array dim (no lane padding) — a distinct Mosaic lowering path
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import (
+            slow_attention_n,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = 0.3 * jax.random.normal(ks[0], (2, 4, 512, 64), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (2, 4, 512, 64), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (2, 4, 512, 64), jnp.float32)
+        gf = jax.jit(jax.grad(lambda q, k, v: jnp.sum(flash_attention_n(
+            q, k, v, softmax_n_param=1.0, is_causal=True,
+            implementation="pallas") ** 2), (0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(lambda q, k, v: jnp.sum(slow_attention_n(
+            q, k, v, softmax_n_param=1.0, is_causal=True) ** 2),
+            (0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            assert float(jnp.max(jnp.abs(a - b))) < 5e-3
+
     def test_flash_attention_fwd_bwd(self):
         from flash_attention_softmax_n_tpu.ops.flash_attention import (
             flash_attention_n,
