@@ -243,6 +243,40 @@ def bench_prefill_sol(cfg, *, batch=2, seq=2048, heads=None, head_dim=None):
     return pct
 
 
+def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
+                        loop_steps=32):
+    """End-to-end host-engine serving under churn: a queue of requests with
+    mixed budgets admitted continuously into a fixed slot pool, decoded in
+    fused chunks. Measures the WHOLE stack (admission + scheduling + decode
+    + EOS/budget bookkeeping), not just the steady-state decode loop."""
+    import numpy as np
+
+    from flash_attention_softmax_n_tpu.engine import InferenceEngine
+
+    eng = InferenceEngine(cfg, params, max_batch=slots, max_len=512,
+                          kv_quantization="int8")
+    rng = np.random.RandomState(0)
+
+    def wave(n):
+        for _ in range(n):
+            plen = int(rng.randint(16, 128))  # one bucket per prefill shape
+            budget = int(rng.randint(16, 64))
+            eng.submit(rng.randint(0, cfg.vocab_size, size=plen).tolist(),
+                       max_new_tokens=budget)
+        t0 = time.time()
+        done = eng.run_until_done(loop_steps=loop_steps)
+        return sum(len(r.output) for r in done), time.time() - t0
+
+    toks_w, dt_w = wave(n_requests)   # compile wave
+    wave(n_requests)                  # settle wave (stragglers: cold group
+    #                                   shapes only reached by some traffic)
+    toks, dt = wave(n_requests)       # warm wave
+    log(f"serving churn ({n_requests} reqs, mixed budgets, {slots} slots): "
+        f"{toks/dt:.0f} tok/s end-to-end warm "
+        f"(first wave incl. compiles: {toks_w/dt_w:.0f})")
+    return toks / dt
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     cfg, params = build_model()
@@ -258,8 +292,10 @@ def main():
     del params
     quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
 
+    bench_serving_churn(cfg, qparams)
+
     bench_attn_sol(cfg, quantized=True)
-    bench_prefill_sol(cfg)            # model geometry (hd=64: lanes padded)
+    bench_prefill_sol(cfg)            # model geometry (hd=64, unpadded)
     bench_prefill_sol(cfg, heads=16, head_dim=128)  # kernel-native geometry
 
     print(json.dumps({

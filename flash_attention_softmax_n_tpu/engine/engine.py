@@ -524,6 +524,8 @@ class InferenceEngine:
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
         self._slot_budget = [0] * max_batch  # remaining new tokens per slot
+        import numpy as _np
+        self._next_host = _np.zeros((max_batch,), _np.int32)
         self._next_token = jnp.zeros((max_batch,), jnp.int32)
         self._rng = jax.random.PRNGKey(0)
 
@@ -599,7 +601,8 @@ class InferenceEngine:
                 finished.append(req)
                 self.slots[i] = None
             else:
-                self._next_token = self._next_token.at[i].set(tok)
+                self._next_host[i] = tok
+        self._next_token = jnp.asarray(self._next_host)
         return finished
 
     def run_until_done(self, max_steps: int = 100_000,
@@ -661,6 +664,7 @@ class InferenceEngine:
         toks_host = jax.device_get(toks)
 
         finished = []
+        upd_idx, upd_val = [], []
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -681,7 +685,14 @@ class InferenceEngine:
                 self.slots[i] = None
                 self._slot_budget[i] = 0
             else:
-                self._next_token = self._next_token.at[i].set(req.output[-1])
+                upd_idx.append(i)
+                upd_val.append(req.output[-1])
+        for i, v in zip(upd_idx, upd_val):
+            self._next_host[i] = v
+        # ONE fixed-shape host->device upload per scheduling point (per-slot
+        # .at[i].set dispatches cost ~ms each on a relay-attached device;
+        # variable-length scatters recompile per update count)
+        self._next_token = jnp.asarray(self._next_host)
         return finished
 
     # -- internals ----------------------------------------------------------
@@ -695,14 +706,27 @@ class InferenceEngine:
         finished = []
         free = [i for i in range(self.max_batch) if self.slots[i] is None]
         while free and self.queue:
+            # group by the head's bucket, pulling same-bucket requests from
+            # ANYWHERE in the queue (runs of equal buckets are short under
+            # mixed traffic; cross-bucket reordering within an admission
+            # round is standard continuous batching)
             bucket = _bucket(len(self.queue[0].prompt))
             group: List[Tuple[int, Request]] = []
-            while (free and self.queue and len(group) < 8
-                   and _bucket(len(self.queue[0].prompt)) == bucket):
-                group.append((free.pop(0), self.queue.popleft()))
-            nb = 1
-            while nb < len(group):
-                nb *= 2
+            keep: List[Request] = []
+            while self.queue:
+                req = self.queue.popleft()
+                if (free and len(group) < 8
+                        and _bucket(len(req.prompt)) == bucket):
+                    group.append((free.pop(0), req))
+                else:
+                    keep.append(req)
+            self.queue.extend(keep)
+            assert group
+            # ALWAYS pad to the full group size: duplicate-slot prefills
+            # are idempotent, and one compiled shape per prompt bucket
+            # beats per-(group-size, bucket) executables (churn serving
+            # kept hitting cold shapes)
+            nb = 8
             padded_group = group + [group[-1]] * (nb - len(group))
             tokens = jnp.asarray(
                 [r.prompt + [self.pad_token] * (bucket - len(r.prompt))
@@ -716,6 +740,7 @@ class InferenceEngine:
             temps = [r.temperature for _, r in group]
             toks = self._sample(logits[:len(group)], temps)
             toks_host = jax.device_get(toks)
+            upd_idx, upd_val = [], []
             for (i, req), tok in zip(group, toks_host):
                 tok = int(tok)
                 req.output.append(tok)
@@ -729,7 +754,11 @@ class InferenceEngine:
                     self.slots[i] = None
                     self._slot_budget[i] = 0
                 else:
-                    self._next_token = self._next_token.at[i].set(tok)
+                    upd_idx.append(i)
+                    upd_val.append(tok)
+            for i, v in zip(upd_idx, upd_val):
+                self._next_host[i] = v
+            self._next_token = jnp.asarray(self._next_host)
         return finished
 
     def _sample(self, logits: jax.Array, temps: List[float]) -> jax.Array:
