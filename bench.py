@@ -47,7 +47,7 @@ def build_model(dtype=jnp.bfloat16):
     return cfg, params
 
 
-def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
+def bench_decode(cfg, params, *, kv_quantization, batch=256, prompt_len=128,
                  decode_steps=64, max_len=512):
     """tokens/sec for continuous-batching decode, all slots active."""
     from functools import partial
@@ -106,20 +106,28 @@ def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
 
     # the serving configuration: decode_steps fused into one compiled
     # sample-feedback loop (host only between scheduling points), KV cache
-    # donated so updates stay in place
+    # donated so updates stay in place, attention windowed to the host-known
+    # length bucket (static per executable, same buckets the engine uses)
     loop = jax.jit(partial(engine_decode_loop, cfg=cfg,
                            num_steps=decode_steps),
+                   static_argnames=("attn_len",),
                    donate_argnames=("cache",))
 
-    # two warmup invocations: the first compiles; the second absorbs the
-    # one-time relayout/recompile that follows the first donated handoff
+    def bucket(base):
+        return min(max_len, -(-max(base, 1) // 256) * 256)
+
+    # warmups: compile both attention-window buckets this run will touch
+    # (the second call also absorbs the post-donation relayout)
     t0 = time.time()
+    base = prompt_len
     toks, cache, active = loop(params=params, tokens=tok, cache=cache,
-                               active=active)
+                               active=active, attn_len=bucket(base))
     sync(toks)
+    base += decode_steps
     toks, cache, active = loop(params=params, tokens=toks[:, -1],
-                               cache=cache, active=active)
+                               cache=cache, active=active, attn_len=max_len)
     sync(toks)
+    base += decode_steps
     log(f"decode compile+warmup (2x{decode_steps} steps): "
         f"{time.time() - t0:.1f}s")
 
@@ -127,7 +135,9 @@ def bench_decode(cfg, params, *, kv_quantization, batch=128, prompt_len=128,
     n_timed = 2
     for _ in range(n_timed):
         toks, cache, active = loop(params=params, tokens=toks[:, -1],
-                                   cache=cache, active=active)
+                                   cache=cache, active=active,
+                                   attn_len=bucket(base))
+        base += decode_steps
     sync(toks)
     dt = (time.time() - t0) / n_timed
     tps = batch * decode_steps / dt
@@ -300,7 +310,7 @@ def main():
 
     print(json.dumps({
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
-                  "(INT8 weights + INT8 KV, continuous batching b=128)",
+                  "(INT8 weights + INT8 KV, continuous batching b=256)",
         "value": round(quant_tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(quant_tps / dense_tps, 3),

@@ -364,6 +364,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                        temperature: float = 0.0,
                        rng: Optional[jax.Array] = None,
                        mesh=None,
+                       attn_len: Optional[int] = None,
                        ) -> Tuple[jax.Array, Dict, jax.Array]:
     """``num_steps`` fused decode steps in ONE compiled program.
 
@@ -389,6 +390,16 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     rows). Numerics note:
     within-window keys are attended in bf16 even for quantized caches
     (strictly more accurate; they are quantized at flush).
+
+    ``attn_len`` (static, tail mode only): attention reads only the first
+    ``attn_len`` cache rows. The XLA decode attention streams the FULL
+    padded cache every step (masking after the fact), so at serving
+    lengths well below max_len most of that HBM traffic is padding; the
+    host scheduler knows max(lengths) and passes a (bucketed, so the jit
+    cache stays small) bound. Exact because in tail mode the main-cache
+    attention span is frozen at the loop-entry lengths: rows past
+    ``attn_len >= max(active lengths)`` are masked for every slot anyway.
+    The tail flush still writes through the full cache.
     """
     if temperature > 0.0 and rng is None:
         raise ValueError("temperature sampling requires rng")
@@ -403,6 +414,17 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         tail0 = (jnp.zeros((nl, bsz, kvh, w, hd), cfg.dtype),
                  jnp.zeros((nl, bsz, kvh, w, hd), cfg.dtype))
         base = cache["lengths"]
+
+    k_full, v_full = cache["k"], cache["v"]
+    if use_tail and attn_len is not None and attn_len < s_len:
+        def _window(c):
+            if isinstance(c, QTensor):
+                return QTensor(c.values[:, :, :, :attn_len],
+                               c.scales[:, :, :, :attn_len], bits=c.bits,
+                               packed_axis=c.packed_axis)
+            return c[:, :, :, :attn_len]
+
+        cache = dict(cache, k=_window(cache["k"]), v=_window(cache["v"]))
 
     def step(carry, xs):
         i, key = xs
@@ -433,7 +455,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     if use_tail:
         cache = dict(cache)
         cache["k"], cache["v"] = _flush_tail(
-            cfg, cache["k"], cache["v"], tail[0], tail[1], base)
+            cfg, k_full, v_full, tail[0], tail[1], base)
     return jnp.swapaxes(toks, 0, 1), cache, active
 
 
@@ -642,6 +664,7 @@ class InferenceEngine:
             return False
         w = -(-loop_steps // 8) * 8
         lengths = jax.device_get(self.cache["lengths"])
+        self._lengths_host = lengths  # reused by _loop_chunk's attn window
         return all(self.slots[i] is None or int(lengths[i]) + w <= self.max_len
                    for i in range(self.max_batch))
 
@@ -650,15 +673,27 @@ class InferenceEngine:
             engine_decode_loop,
         )
 
+        # attention cache window: the loop only attends main-cache rows up
+        # to the loop-entry lengths of ACTIVE slots; bucket to 256s so each
+        # loop_steps compiles at most max_len/256 variants
+        lengths = getattr(self, "_lengths_host", None)
+        if lengths is None:
+            lengths = jax.device_get(self.cache["lengths"])
+        amax = max((int(lengths[i]) for i, r in enumerate(self.slots)
+                    if r is not None), default=0)
+        attn_len = min(self.max_len, -(-max(amax, 1) // 256) * 256)
+
         if not hasattr(self, "_loops"):
             self._loops = {}
-        if loop_steps not in self._loops:
-            self._loops[loop_steps] = jax.jit(
+        key = (loop_steps, attn_len)
+        if key not in self._loops:
+            self._loops[key] = jax.jit(
                 partial(engine_decode_loop, cfg=self.cfg,
-                        num_steps=loop_steps, mesh=self.mesh),
+                        num_steps=loop_steps, mesh=self.mesh,
+                        attn_len=attn_len),
                 donate_argnames=("cache",))
         active = jnp.asarray([r is not None for r in self.slots], bool)
-        toks, self.cache, _ = self._loops[loop_steps](
+        toks, self.cache, _ = self._loops[key](
             params=self.params, tokens=self._next_token, cache=self.cache,
             active=active)
         toks_host = jax.device_get(toks)

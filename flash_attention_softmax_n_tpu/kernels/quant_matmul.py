@@ -149,8 +149,13 @@ def quantized_matmul(
             # tiles (2*bk*bn) plus f32 acc + bf16 out (~6*bm*bn)
             bm = min(256, _round_up(m_total, 8))
             budget = 11 * 1024 * 1024
-            block_n = min(_round_up(n, 128),
-                          (budget // (2 * block_k + 6 * bm)) // 128 * 128)
+            cap = (budget // (2 * block_k + 6 * bm)) // 128 * 128
+            # balance tiles so N pads to (nearly) nothing: a capped tile
+            # on a non-multiple N (lm_head 32000, fused gate-up 11264)
+            # otherwise zero-pads the WEIGHT — a fresh padded copy plus
+            # dead DMA columns on every decode step
+            n128 = _round_up(n, 128)
+            block_n = min(n128, _round_up(_cdiv(n128, _cdiv(n128, cap)), 128))
         else:
             block_n = 512
     if bits == 4:

@@ -122,6 +122,28 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
     return x @ w
 
 
+def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
+    """Route the decode-regime SwiGLU block to the single fused Pallas
+    kernel (kernels/fused_mlp.py): int8 QTensor gate/up/down, small M
+    (decode), no activation quantization (W8A8 keeps the 2-kernel path)."""
+    import math
+
+    from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
+        mlp_fusion_eligible,
+    )
+    from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
+
+    ws = [lp.get("w_gate"), lp.get("w_up"), lp.get("w_down")]
+    if act_bits is not None or not all(
+            isinstance(w, QTensor) and w.bits == 8 and w.packed_axis is None
+            for w in ws):
+        return False
+    m_total = math.prod(h.shape[:-1])
+    k, f = ws[0].values.shape
+    return (ws[1].values.shape == (k, f) and ws[2].values.shape == (f, k)
+            and mlp_fusion_eligible(m_total, k, f, 8))
+
+
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     b, l, _ = x.shape
     return x.reshape(b, l, n_heads, -1).transpose(0, 2, 1, 3)  # (B,H,L,hd)
@@ -170,6 +192,13 @@ def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
         gu = _mm(h, lp["w_gu"], ab)
         gate, up = jnp.split(gu, 2, axis=-1)
         mlp = _mm(jax.nn.silu(gate) * up, lp["w_down"], ab)
+    elif _mlp_fusable(h, lp, ab):
+        from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
+            fused_mlp_matmul,
+        )
+        wg, wu, wd = lp["w_gate"], lp["w_up"], lp["w_down"]
+        mlp = fused_mlp_matmul(h, wg.values, wg.scales, wu.values, wu.scales,
+                               wd.values, wd.scales)
     else:
         mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"], ab)) * _mm(h, lp["w_up"], ab),
                   lp["w_down"], ab)

@@ -207,6 +207,41 @@ class TestDecodeLoop:
             np.testing.assert_allclose(np.asarray(c1["k"]),
                                        np.asarray(c2["k"]), atol=1e-5)
 
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_attn_window_matches_full(self, params, quantized):
+        # attn_len slices the main-cache attention span to a host-known
+        # bound; with attn_len >= max(active lengths) it must be
+        # token-identical to the full-cache loop (the masked rows it skips
+        # contribute nothing)
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode_loop,
+        )
+
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8, 9, 7, 9],
+                   [2, 7, 1]]
+        cache = self._prefill(params, self._mk_cache(quantized, max_len=64),
+                              prompts)
+        tok0 = jnp.asarray([11, 12, 13, 14], jnp.int32)
+        active = jnp.ones((4,), bool)
+
+        full = jax.jit(partial(engine_decode_loop, cfg=TINY, num_steps=12))
+        toks_f, cf, _ = full(params=params, tokens=tok0, cache=dict(cache),
+                             active=active)
+        win = jax.jit(partial(engine_decode_loop, cfg=TINY, num_steps=12,
+                              attn_len=16))
+        toks_w, cw, _ = win(params=params, tokens=tok0, cache=dict(cache),
+                            active=active)
+        np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_w))
+        kf = cf["k"].values if quantized else cf["k"]
+        kw = cw["k"].values if quantized else cw["k"]
+        assert kf.shape == kw.shape  # flush goes through the FULL cache
+        # the window changes the attention reduction tree, so written rows
+        # agree only to rounding (masked rows contribute exactly zero)
+        np.testing.assert_allclose(np.asarray(kf, np.float32),
+                                   np.asarray(kw, np.float32), atol=1e-5)
+
     def test_eos_deactivation_in_tail_mode(self, params):
         from functools import partial
 

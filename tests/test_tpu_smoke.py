@@ -59,6 +59,29 @@ class TestMosaicLowering:
                / float(jnp.max(jnp.abs(ref))))
         assert rel < 0.02
 
+    def test_fused_mlp(self):
+        # whole SwiGLU block in one kernel: three MXU dots + silu per grid
+        # step, f32 accumulator in VMEM scratch at the TinyLlama-1.1B shape
+        from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
+            fused_mlp_matmul,
+        )
+        from flash_attention_softmax_n_tpu.quant.qtensor import quantize
+        k, f = 2048, 5632
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, k), jnp.bfloat16)
+        key = jax.random.PRNGKey(1)
+        wg = jax.random.normal(key, (k, f), jnp.float32) / 32
+        wu = jax.random.normal(jax.random.PRNGKey(2), (k, f), jnp.float32) / 32
+        wd = jax.random.normal(jax.random.PRNGKey(3), (f, k), jnp.float32) / 64
+        qg, qu, qd = (quantize(w, bits=8, axis=0) for w in (wg, wu, wd))
+        xf = x.astype(jnp.float32)
+        ref = (jax.nn.silu(xf @ wg) * (xf @ wu)) @ wd
+        out = jax.jit(lambda x: fused_mlp_matmul(
+            x, qg.values, qg.scales, qu.values, qu.scales,
+            qd.values, qd.scales, out_dtype=jnp.float32))(x)
+        rel = (float(jnp.max(jnp.abs(out - ref)))
+               / float(jnp.max(jnp.abs(ref))))
+        assert rel < 0.03  # int8 weight rounding x3 matmuls, bf16 h
+
     def test_cache_update_small_dims(self):
         # regression: Mosaic 'unsupported shape cast' on (3,1,4,32) expand
         from flash_attention_softmax_n_tpu.kernels.cache_update import (
