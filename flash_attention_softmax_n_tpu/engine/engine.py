@@ -199,11 +199,24 @@ def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     return logits[0], cache
 
 
+def _greedy_fusable(params: Dict, cfg: DecoderConfig) -> bool:
+    """Can the greedy sampling ride the lm_head kernel epilogue?
+
+    kernels/quant_matmul.quantized_matmul_argmax: int8 unpacked lm_head,
+    no W8A8. Token-identical to argmax-of-logits (same dot/scale ops,
+    same first-index ties), but the (B, vocab) logits never touch HBM.
+    """
+    lm = params["lm_head"]
+    return (isinstance(lm, QTensor) and lm.bits == 8
+            and lm.packed_axis is None and cfg.act_bits != 8)
+
+
 def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                  cache: Dict, active: jax.Array, *, mesh=None,
                  tail: Optional[Tuple[jax.Array, jax.Array]] = None,
                  tail_index: Optional[jax.Array] = None,
-                 tail_lengths: Optional[jax.Array] = None):
+                 tail_lengths: Optional[jax.Array] = None,
+                 greedy: bool = False):
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
     Step anatomy (decode is HBM-bound; everything here serves that):
@@ -341,6 +354,13 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    if greedy and _greedy_fusable(params, cfg):
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul_argmax,
+        )
+        lm = params["lm_head"]
+        tok = quantized_matmul_argmax(x, lm.values, lm.scales)
+        return tok[:, 0], cache, new_tail  # (B,) int32 greedy tokens
     logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
     return logits[:, 0], cache, new_tail
 
@@ -426,21 +446,29 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
         cache = dict(cache, k=_window(cache["k"]), v=_window(cache["v"]))
 
+    # mesh serving shards lm_head over N: the kernel's local argmax indices
+    # would need a cross-shard merge — keep the XLA argmax there
+    greedy = temperature == 0.0 and mesh is None and _greedy_fusable(
+        params, cfg)
+
     def step(carry, xs):
         i, key = xs
         tok, cache, active, tail = carry
         if use_tail:
-            logits, cache, tail = _decode_step(
+            out, cache, tail = _decode_step(
                 params, cfg, tok, cache, active, mesh=mesh, tail=tail,
-                tail_index=i, tail_lengths=cache["lengths"] - base)
+                tail_index=i, tail_lengths=cache["lengths"] - base,
+                greedy=greedy)
         else:
-            logits, cache, _ = _decode_step(params, cfg, tok, cache, active,
-                                            mesh=mesh)
-        if temperature > 0.0:
+            out, cache, _ = _decode_step(params, cfg, tok, cache, active,
+                                         mesh=mesh, greedy=greedy)
+        if greedy:
+            nxt = out  # argmax fused into the lm_head kernel epilogue
+        elif temperature > 0.0:
             nxt = jax.random.categorical(
-                key, logits / temperature, axis=-1).astype(jnp.int32)
+                key, out / temperature, axis=-1).astype(jnp.int32)
         else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.argmax(out, axis=-1).astype(jnp.int32)
         nxt = jnp.where(active, nxt, tok)
         if eos_token is not None:
             active = jnp.logical_and(active, nxt != eos_token)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["quantized_matmul"]
+__all__ = ["quantized_matmul", "quantized_matmul_argmax"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -33,6 +33,28 @@ def _cdiv(a: int, b: int) -> int:
 
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
+
+
+def _balanced_block_n(n: int, cap: int) -> int:
+    """Largest N tile <= cap that pads N to (nearly) nothing.
+
+    A capped tile on a non-multiple N (lm_head 32000, fused gate-up 11264)
+    zero-pads the WEIGHT — a fresh padded copy plus dead DMA columns on
+    every decode step. Prefer an exact 128-multiple divisor of N when one
+    exists within 25% of the cap; otherwise balance the tile count.
+    """
+    n128 = _round_up(n, 128)
+    if n128 <= cap:
+        return n128
+    best_div = 0
+    for mult in range(1, n128 // 128 + 1):
+        bn = 128 * mult
+        if bn > cap:
+            break
+        if n128 % bn == 0:
+            best_div = bn
+    balanced = min(n128, _round_up(_cdiv(n128, _cdiv(n128, cap)), 128))
+    return best_div if best_div * 2 >= cap else balanced
 
 
 def _qmm_kernel(bits: int, act_quant: bool, n_k_blocks: int,
@@ -87,6 +109,125 @@ def _qmm_kernel(bits: int, act_quant: bool, n_k_blocks: int,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _qmm_argmax_kernel(n_total: int, n_n_blocks: int, n_k_blocks: int,
+                       block_n: int,
+                       x_ref, w_ref, s_ref, idx_ref,
+                       acc, best_val, best_idx):
+    jn = pl.program_id(1)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...].astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == n_k_blocks - 1)
+    def _tile_reduce():
+        vals = acc[...] * s_ref[...].astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        col = jn * block_n + lane
+        # padded N columns must not win the argmax
+        vals = jnp.where(col < n_total, vals, -jnp.inf)
+        mx = jnp.max(vals, axis=1, keepdims=True)
+        # first-index tie-break (matches XLA argmax): min lane among maxima
+        local = jnp.min(jnp.where(vals == mx, lane, jnp.int32(2 ** 30)),
+                        axis=1, keepdims=True)
+        cand = jn * block_n + local
+
+        @pl.when(jn == 0)
+        def _first():
+            best_val[...] = mx
+            best_idx[...] = cand
+
+        @pl.when(jn > 0)
+        def _merge():
+            take = mx > best_val[...]  # strict: earlier tile wins ties
+            best_val[...] = jnp.where(take, mx, best_val[...])
+            best_idx[...] = jnp.where(take, cand, best_idx[...])
+
+        @pl.when(jn == n_n_blocks - 1)
+        def _out():
+            idx_ref[...] = best_idx[...]
+
+
+def quantized_matmul_argmax(
+    x: jax.Array,
+    w_values: jax.Array,
+    w_scales: jax.Array,
+    *,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """argmax_N(x (..., M, K) @ dequant(w) (K, N)) -> (..., M) int32.
+
+    The greedy-decode sampling epilogue fused into the int8 lm_head
+    matmul: per N-tile row maxima and first-max indices merge in VMEM
+    scratch across the (sequentialized) N grid, so the (M, vocab) logits
+    are never written to HBM and XLA's slow variadic argmax reduce never
+    runs. Produces bit-identical tokens to ``argmax(quantized_matmul(...))``
+    (same dot/scale ops, same first-index tie-breaking).
+
+    Reference has no decode path (SURVEY §0); this serves the
+    BASELINE.json engine's fused loop (engine_decode_loop greedy branch).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    lead = x.shape[:-2]
+    m, k = x.shape[-2], x.shape[-1]
+    x2 = x.reshape(-1, k)
+    m_total = x2.shape[0]
+    kw, n = w_values.shape
+    if kw != k:
+        raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
+
+    bm = min(256, _round_up(m_total, 8))
+    budget = 11 * 1024 * 1024
+    cap = (budget // (2 * block_k + 6 * bm)) // 128 * 128
+    block_n = _balanced_block_n(n, cap)
+    block_k = min(block_k, _round_up(k, 128))
+
+    mp = _round_up(m_total, bm)
+    np_ = _round_up(n, block_n)
+    kp = _round_up(k, block_k)
+    xp = jnp.pad(x2, ((0, mp - m_total), (0, kp - k)))
+    wp = jnp.pad(w_values, ((0, kp - k), (0, np_ - n)))
+    sp = jnp.pad(w_scales.reshape(1, n), ((0, 0), (0, np_ - n)))
+
+    grid = (mp // bm, np_ // block_n, kp // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_argmax_kernel, n, grid[1], grid[2], block_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, block_k), lambda i, j, ik: (i, ik)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, ik: (ik, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, ik: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, 1), lambda i, j, ik: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=xp.size * 2 + wp.size + np_ * 4 + mp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, sp)
+
+    out = out[:m_total, 0]
+    return out.reshape(*lead, m) if lead else out
+
+
 def quantized_matmul(
     x: jax.Array,
     w_values: jax.Array,
@@ -139,7 +280,9 @@ def quantized_matmul(
     if kw != k:
         raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
     if block_k is None:
-        block_k = 512
+        # wide-N decode matmuls (gate/up, lm_head) run ~15% faster with
+        # deeper K tiles; N=2048-class prefer 512 (v5e sweep at M=256)
+        block_k = 1024 if m_total <= 256 and n >= 4096 else 512
     if block_n is None:
         if m_total <= 256:
             # decode regime: the matmul is a pure weight-stream and grid
@@ -150,12 +293,7 @@ def quantized_matmul(
             bm = min(256, _round_up(m_total, 8))
             budget = 11 * 1024 * 1024
             cap = (budget // (2 * block_k + 6 * bm)) // 128 * 128
-            # balance tiles so N pads to (nearly) nothing: a capped tile
-            # on a non-multiple N (lm_head 32000, fused gate-up 11264)
-            # otherwise zero-pads the WEIGHT — a fresh padded copy plus
-            # dead DMA columns on every decode step
-            n128 = _round_up(n, 128)
-            block_n = min(n128, _round_up(_cdiv(n128, _cdiv(n128, cap)), 128))
+            block_n = _balanced_block_n(n, cap)
         else:
             block_n = 512
     if bits == 4:

@@ -115,6 +115,89 @@ class TestQuantizedMatmul:
         assert float(rel) < 0.01
 
 
+class TestFusedArgmax:
+    """quantized_matmul_argmax: greedy sampling in the lm_head epilogue."""
+
+    @pytest.mark.parametrize("n", [96, 130, 512])
+    def test_matches_argmax_of_matmul(self, n):
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul_argmax,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, n), jnp.float32)
+        qt = quantize(w, bits=8, axis=0)
+        ref = jnp.argmax(
+            quantized_matmul(x, qt.values, qt.scales, bits=8,
+                             out_dtype=jnp.float32), axis=-1)
+        out = quantized_matmul_argmax(x, qt.values, qt.scales)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_all_negative_logits(self):
+        # padded N lanes must not win the argmax when every logit < 0
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul_argmax,
+        )
+        x = jnp.ones((8, 128), jnp.float32)
+        w = -jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (128, 130)))
+        qt = quantize(w, bits=8, axis=0)
+        ref = jnp.argmax(x @ dequantize(qt), axis=-1)
+        out = quantized_matmul_argmax(x, qt.values, qt.scales)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert int(jnp.max(out)) < 130
+
+    def test_leading_dims(self):
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul_argmax,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 1, 128))
+        qt = quantize(jax.random.normal(jax.random.PRNGKey(4), (128, 256)),
+                      bits=8, axis=0)
+        out = quantized_matmul_argmax(x, qt.values, qt.scales)
+        assert out.shape == (4, 1) and out.dtype == jnp.int32
+
+    def test_greedy_loop_parity(self):
+        # fused-argmax loop tokens == per-step argmax-of-logits tokens
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode,
+            engine_decode_loop,
+            _greedy_fusable,
+        )
+        from flash_attention_softmax_n_tpu.quant.kv_cache import (
+            init_quantized_kv_cache,
+        )
+
+        cfg = dataclasses.replace(TINY, d_model=128, d_ff=256, vocab_size=160,
+                                  n_heads=4, n_kv_heads=2)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        q = quantize_decoder_weights(params, bits=8)
+        assert _greedy_fusable(q, cfg)
+        b, steps = 4, 12
+        cache = init_quantized_kv_cache(cfg.n_layers, b, cfg.n_kv_heads, 64,
+                                        cfg.head_dim, mode="int8")
+        cache.pop("length")
+        cache["lengths"] = jnp.full((b,), 3, jnp.int32)
+        tok0 = jnp.asarray([5, 6, 7, 8], jnp.int32)
+        active = jnp.ones((b,), bool)
+
+        dec = jax.jit(partial(engine_decode, cfg=cfg))
+        c1, cur, seq = dict(cache), tok0, []
+        for _ in range(steps):
+            lg, c1 = dec(params=q, tokens=cur, cache=c1, active=active)
+            cur = jnp.argmax(lg, -1).astype(jnp.int32)
+            seq.append(cur)
+        seq = np.asarray(jnp.stack(seq, 1))
+
+        loop = jax.jit(partial(engine_decode_loop, cfg=cfg, num_steps=steps))
+        toks, _, _ = loop(params=q, tokens=tok0, cache=dict(cache),
+                          active=active)
+        # quantized tail windows attend bf16 (see loop docstring): allow
+        # rare near-tie flips, but require strong agreement
+        agree = float(np.mean(np.asarray(toks) == seq))
+        assert agree >= 0.9, f"token agreement {agree}"
+
+
 class TestFusedMLP:
     """kernels/fused_mlp.py: whole SwiGLU block as one tile-wise kernel."""
 

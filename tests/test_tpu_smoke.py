@@ -59,6 +59,25 @@ class TestMosaicLowering:
                / float(jnp.max(jnp.abs(ref))))
         assert rel < 0.02
 
+    def test_fused_argmax_lm_head(self):
+        # greedy sampling in the lm_head epilogue at the real vocab shape;
+        # scratch-merged cross-tile argmax must match XLA bit-exactly
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul,
+            quantized_matmul_argmax,
+        )
+        from flash_attention_softmax_n_tpu.quant.qtensor import quantize
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 2048), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (2048, 32000),
+                              jnp.bfloat16)
+        qt = quantize(w, bits=8, axis=0)
+        ref = jnp.argmax(jax.jit(lambda x: quantized_matmul(
+            x, qt.values, qt.scales, bits=8, out_dtype=jnp.float32))(x),
+            axis=-1)
+        out = jax.jit(lambda x: quantized_matmul_argmax(
+            x, qt.values, qt.scales))(x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_fused_mlp(self):
         # whole SwiGLU block in one kernel: three MXU dots + silu per grid
         # step, f32 accumulator in VMEM scratch at the TinyLlama-1.1B shape
