@@ -47,7 +47,7 @@ def build_model(dtype=jnp.bfloat16):
     return cfg, params
 
 
-def bench_decode(cfg, params, *, kv_quantization, batch=256, prompt_len=128,
+def bench_decode(cfg, params, *, kv_quantization, batch=512, prompt_len=128,
                  decode_steps=64, max_len=512):
     """tokens/sec for continuous-batching decode, all slots active."""
     from functools import partial
@@ -303,7 +303,7 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
 
     def wave(n):
         for _ in range(n):
-            plen = int(rng.randint(16, 128))  # one bucket per prefill shape
+            plen = int(rng.randint(16, 128))  # spans buckets {32, 64, 128}
             budget = int(rng.randint(16, 64))
             eng.submit(rng.randint(0, cfg.vocab_size, size=plen).tolist(),
                        max_new_tokens=budget)
@@ -334,8 +334,11 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"model: {n_params/1e9:.2f}B params, softmax_n={cfg.softmax_n}")
 
-    # dense baseline: bf16 weights, bf16 KV
-    dense_tps = bench_decode(cfg, params, kv_quantization=None)
+    # dense baseline: bf16 weights, bf16 KV. Each path runs at its best
+    # operating point on the chip: the bf16 cache caps the dense engine at
+    # b=256 (b=512 needs ~20G of 16G HBM), while INT8 weights + INT8 KV
+    # fit b=512 — half the quantization win IS the extra slots.
+    dense_tps = bench_decode(cfg, params, kv_quantization=None, batch=256)
 
     # quantized: INT8 weight-only + INT8 KV cache
     from flash_attention_softmax_n_tpu.quant import quantize_decoder_weights
@@ -351,7 +354,8 @@ def main():
 
     print(json.dumps({
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
-                  "(INT8 weights + INT8 KV, continuous batching b=256)",
+                  "(INT8 weights + INT8 KV, continuous batching b=512; "
+                  "baseline: dense bf16 at its HBM-limited best b=256)",
         "value": round(quant_tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(quant_tps / dense_tps, 3),

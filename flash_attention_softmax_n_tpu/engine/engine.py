@@ -763,27 +763,33 @@ class InferenceEngine:
     def _admit(self) -> List[Request]:
         """Admit queued requests into free slots, prefilling same-bucket
         groups in one batched forward (admission is weight-bound; batching
-        amortizes the weight stream across requests). Groups are padded to
-        a power of two by repeating the last request — duplicate slot
-        writes are idempotent — to bound the number of compiled shapes."""
+        amortizes the weight stream across requests). Groups are always
+        padded to the full group size of 8 by repeating the last request —
+        duplicate slot writes are idempotent — so each prompt bucket
+        compiles exactly ONE prefill shape."""
         finished = []
         free = [i for i in range(self.max_batch) if self.slots[i] is None]
-        while free and self.queue:
-            # group by the head's bucket, pulling same-bucket requests from
-            # ANYWHERE in the queue (runs of equal buckets are short under
-            # mixed traffic; cross-bucket reordering within an admission
-            # round is standard continuous batching)
-            bucket = _bucket(len(self.queue[0].prompt))
+        if not (free and self.queue):
+            return finished
+        # ONE pass partitions the queue by prompt bucket (cross-bucket
+        # reordering within an admission round is standard continuous
+        # batching); FIFO preserved within a bucket and across rounds
+        by_bucket: Dict[int, deque] = {}
+        order: List[int] = []
+        for req in self.queue:
+            bkt = _bucket(len(req.prompt))
+            if bkt not in by_bucket:
+                by_bucket[bkt] = deque()
+                order.append(bkt)
+            by_bucket[bkt].append(req)
+        admitted: set = set()
+        while free and any(by_bucket.values()):
+            bucket = next(b for b in order if by_bucket[b])
             group: List[Tuple[int, Request]] = []
-            keep: List[Request] = []
-            while self.queue:
-                req = self.queue.popleft()
-                if (free and len(group) < 8
-                        and _bucket(len(req.prompt)) == bucket):
-                    group.append((free.pop(0), req))
-                else:
-                    keep.append(req)
-            self.queue.extend(keep)
+            while free and by_bucket[bucket] and len(group) < 8:
+                req = by_bucket[bucket].popleft()
+                admitted.add(id(req))
+                group.append((free.pop(0), req))
             assert group
             # ALWAYS pad to the full group size: duplicate-slot prefills
             # are idempotent, and one compiled shape per prompt bucket
@@ -822,6 +828,10 @@ class InferenceEngine:
             for i, v in zip(upd_idx, upd_val):
                 self._next_host[i] = v
             self._next_token = jnp.asarray(self._next_host)
+        if admitted:
+            # one O(queue) rebuild preserves global FIFO for what's left
+            self.queue = deque(r for r in self.queue
+                               if id(r) not in admitted)
         return finished
 
     def _sample(self, logits: jax.Array, temps: List[float]) -> jax.Array:

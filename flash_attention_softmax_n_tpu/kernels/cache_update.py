@@ -60,12 +60,18 @@ def tail_append(k_tail: jax.Array, v_tail: jax.Array,
     """
     nl, b, kvh, w, d = k_tail.shape
     idx = jnp.reshape(index, (1,)).astype(jnp.int32)
-    spec = pl.BlockSpec((1, b, kvh, 8, d),
-                        lambda g, i: (g, 0, 0, i[0] // 8, 0))
-    nspec = pl.BlockSpec((1, b, kvh, 1, d), lambda g, i: (g, 0, 0, 0, 0))
+    # chunk the batch so the 4 double-buffered (k/v, in/out) blocks stay
+    # within scoped VMEM (b=384 at the 1.1B shape otherwise allocates 24MB
+    # against the 16MB limit)
+    bs = b
+    while bs > 128 and bs % 2 == 0 and bs * kvh * 8 * d * 2 * 4 * 2 > 8 << 20:
+        bs //= 2
+    spec = pl.BlockSpec((1, bs, kvh, 8, d),
+                        lambda g, j, i: (g, j, 0, i[0] // 8, 0))
+    nspec = pl.BlockSpec((1, bs, kvh, 1, d), lambda g, j, i: (g, j, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nl,),
+        grid=(nl, b // bs),
         in_specs=[nspec, nspec, spec, spec],
         out_specs=[spec, spec],
     )
@@ -76,7 +82,7 @@ def tail_append(k_tail: jax.Array, v_tail: jax.Array,
                    jax.ShapeDtypeStruct(v_tail.shape, v_tail.dtype)],
         input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
     )(idx, k_new[:, :, :, None, :], v_new[:, :, :, None, :], k_tail, v_tail)

@@ -33,15 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+    VMEM_BUDGET,
+    _cdiv,
+    _round_up,
+)
+
 __all__ = ["fused_mlp_matmul", "mlp_fusion_eligible"]
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _round_up(a: int, b: int) -> int:
-    return _cdiv(a, b) * b
 
 
 def _mlp_kernel(n_f_blocks: int,
@@ -77,17 +75,19 @@ def _mlp_kernel(n_f_blocks: int,
 def _pick_block_f(f: int, budget_bytes: int, k: int, bm: int) -> Optional[int]:
     """Largest 128-multiple tile that divides F and fits the VMEM budget.
 
-    Per grid step the kernel holds double-buffered int8 tiles wg (k, bf),
-    wu (k, bf), wd (bf, k) => 6*k*bf bytes, plus x (bm, k) bf16 and the
-    f32 accumulator (bm, k). Returns None when no dividing tile exists
-    (caller falls back to separate matmuls — padding the weights would
-    copy them every step, see kernels/quant_matmul.py block_n note).
+    Per grid step the kernel holds double-buffered int8 weight tiles
+    wg (k, bf), wu (k, bf), wd (bf, k) => 6*k*bf bytes, plus per-bf-tile
+    f32 g/u intermediates and the bf16 h (10*bm*bf), plus the fixed x
+    (bm, k) bf16 and f32 accumulator (bm, k). Returns None when no
+    dividing tile exists (caller falls back to separate matmuls — padding
+    the weights would copy them every step, see quant_matmul's
+    _balanced_block_n note).
     """
-    fixed = 2 * bm * k + 4 * bm * k + 2 * bm * 512  # x + acc + h slack
+    fixed = 2 * bm * k + 4 * bm * k  # x + acc
     avail = budget_bytes - fixed
     if avail <= 0:
         return None
-    cap = avail // (6 * k)
+    cap = avail // (6 * k + 10 * bm)
     best = None
     for mult in range(1, f // 128 + 1):
         bf = 128 * mult
@@ -98,8 +98,8 @@ def _pick_block_f(f: int, budget_bytes: int, k: int, bm: int) -> Optional[int]:
 
 def mlp_fusion_eligible(m_total: int, k: int, f: int, bits: int) -> bool:
     """Static predicate: can fused_mlp_matmul serve this shape?"""
-    return (m_total <= 256 and bits == 8 and k % 128 == 0
-            and _pick_block_f(f, 11 * 1024 * 1024, k,
+    return (m_total <= 512 and bits == 8 and k % 128 == 0
+            and _pick_block_f(f, VMEM_BUDGET, k,
                               min(256, _round_up(m_total, 8))) is not None)
 
 
@@ -132,7 +132,7 @@ def fused_mlp_matmul(
             f"wd {wd_values.shape}")
 
     bm = min(256, _round_up(m_total, 8))
-    block_f = _pick_block_f(f, 11 * 1024 * 1024, k, bm)
+    block_f = _pick_block_f(f, VMEM_BUDGET, k, bm)
     if block_f is None:
         raise ValueError(f"no dividing FF tile for f={f}, k={k}")
 

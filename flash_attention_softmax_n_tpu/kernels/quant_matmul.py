@@ -27,6 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["quantized_matmul", "quantized_matmul_argmax"]
 
 
+# per-kernel scoped-VMEM budget (v5e has 16MB scoped; leave headroom for
+# Mosaic's own allocations). Shared by fused_mlp.py's tile picker.
+VMEM_BUDGET = 11 * 1024 * 1024
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -41,7 +46,7 @@ def _balanced_block_n(n: int, cap: int) -> int:
     A capped tile on a non-multiple N (lm_head 32000, fused gate-up 11264)
     zero-pads the WEIGHT — a fresh padded copy plus dead DMA columns on
     every decode step. Prefer an exact 128-multiple divisor of N when one
-    exists within 25% of the cap; otherwise balance the tile count.
+    exists within half of the cap; otherwise balance the tile count.
     """
     n128 = _round_up(n, 128)
     if n128 <= cap:
@@ -168,8 +173,11 @@ def quantized_matmul_argmax(
     matmul: per N-tile row maxima and first-max indices merge in VMEM
     scratch across the (sequentialized) N grid, so the (M, vocab) logits
     are never written to HBM and XLA's slow variadic argmax reduce never
-    runs. Produces bit-identical tokens to ``argmax(quantized_matmul(...))``
-    (same dot/scale ops, same first-index tie-breaking).
+    runs. Matches ``argmax(quantized_matmul(..., out_dtype=f32))`` exactly
+    when both use the same ``block_k`` (identical f32 accumulation order,
+    same first-index tie-breaking); vs the engine's previous path — which
+    round-tripped logits through bf16 before the argmax — this is strictly
+    higher precision, so near-tie tokens can differ (for the better).
 
     Reference has no decode path (SURVEY §0); this serves the
     BASELINE.json engine's fused loop (engine_decode_loop greedy branch).
@@ -186,8 +194,7 @@ def quantized_matmul_argmax(
         raise ValueError(f"contraction mismatch: x K={k}, w K={kw}")
 
     bm = min(256, _round_up(m_total, 8))
-    budget = 11 * 1024 * 1024
-    cap = (budget // (2 * block_k + 6 * bm)) // 128 * 128
+    cap = (VMEM_BUDGET // (2 * block_k + 6 * bm)) // 128 * 128
     block_n = _balanced_block_n(n, cap)
     block_k = min(block_k, _round_up(k, 128))
 
@@ -282,17 +289,16 @@ def quantized_matmul(
     if block_k is None:
         # wide-N decode matmuls (gate/up, lm_head) run ~15% faster with
         # deeper K tiles; N=2048-class prefer 512 (v5e sweep at M=256)
-        block_k = 1024 if m_total <= 256 and n >= 4096 else 512
+        block_k = 1024 if m_total <= 512 and n >= 4096 else 512
     if block_n is None:
-        if m_total <= 256:
+        if m_total <= 512:
             # decode regime: the matmul is a pure weight-stream and grid
             # overhead (not MXU) bounds it — take the whole N per step so
             # each k-tile DMA is megabytes (measured best on v5e), capped
             # so the scoped-VMEM budget holds: double-buffered int8 weight
             # tiles (2*bk*bn) plus f32 acc + bf16 out (~6*bm*bn)
             bm = min(256, _round_up(m_total, 8))
-            budget = 11 * 1024 * 1024
-            cap = (budget // (2 * block_k + 6 * bm)) // 128 * 128
+            cap = (VMEM_BUDGET // (2 * block_k + 6 * bm)) // 128 * 128
             block_n = _balanced_block_n(n, cap)
         else:
             block_n = 512

@@ -124,8 +124,10 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
 
 def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
     """Route the decode-regime SwiGLU block to the single fused Pallas
-    kernel (kernels/fused_mlp.py): int8 QTensor gate/up/down, small M
-    (decode), no activation quantization (W8A8 keeps the 2-kernel path)."""
+    kernel (kernels/fused_mlp.py): int8 QTensor gate/up/down, single-token
+    decode (L == 1; prefill stays on the compute-tuned 2-kernel path even
+    when a small batched-admission group fits the M bound), no activation
+    quantization (W8A8 keeps the 2-kernel path)."""
     import math
 
     from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
@@ -134,7 +136,7 @@ def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
     ws = [lp.get("w_gate"), lp.get("w_up"), lp.get("w_down")]
-    if act_bits is not None or not all(
+    if act_bits is not None or h.shape[-2] != 1 or not all(
             isinstance(w, QTensor) and w.bits == 8 and w.packed_axis is None
             for w in ws):
         return False

@@ -237,15 +237,20 @@ class TestFusedMLP:
             mlp_fusion_eligible,
         )
         assert mlp_fusion_eligible(64, 2048, 5632, 8)      # decode, 1.1B
-        assert not mlp_fusion_eligible(512, 2048, 5632, 8)  # prefill M
+        assert mlp_fusion_eligible(512, 2048, 5632, 8)     # b=512 serving
+        assert not mlp_fusion_eligible(1024, 2048, 5632, 8)  # beyond decode M
         assert not mlp_fusion_eligible(64, 2048, 5632, 4)   # int4 unsupported
         assert not mlp_fusion_eligible(64, 2048, 130, 8)    # no dividing tile
 
     def test_decode_routes_through_fusion(self):
-        # the decoder layer must pick the fused path for int8 decode shapes
-        # and produce the same logits as the 2-kernel path (same math, only
-        # the h-roundtrip dtype differs)
+        # the decoder layer must pick the fused path ONLY for int8
+        # single-token decode shapes, and the fused MLP must agree with
+        # the 2-kernel path on the same weights
+        from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
+            fused_mlp_matmul,
+        )
         from flash_attention_softmax_n_tpu.models import decoder as D
+        from flash_attention_softmax_n_tpu.models.decoder import _mm
 
         cfg = _tiny_cfg()
         params = init_decoder_params(cfg, jax.random.PRNGKey(0))
@@ -255,6 +260,18 @@ class TestFusedMLP:
                               cfg.dtype)
         assert D._mlp_fusable(h, lp, None)
         assert not D._mlp_fusable(h, lp, 8)  # W8A8 stays on 2-kernel path
+        hp = jax.random.normal(jax.random.PRNGKey(2), (8, 32, cfg.d_model),
+                               cfg.dtype)
+        assert not D._mlp_fusable(hp, lp, None)  # prefill (L>1) stays off
+
+        wg, wu, wd = lp["w_gate"], lp["w_up"], lp["w_down"]
+        fused = fused_mlp_matmul(h, wg.values, wg.scales, wu.values,
+                                 wu.scales, wd.values, wd.scales,
+                                 out_dtype=jnp.float32)
+        two = _mm(jax.nn.silu(_mm(h, wg)) * _mm(h, wu), wd,
+                  None).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                                   atol=3e-2, rtol=2e-2)
 
 
 def _tiny_cfg():
