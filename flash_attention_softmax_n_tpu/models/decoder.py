@@ -98,13 +98,25 @@ def init_decoder_params(cfg: DecoderConfig, rng: jax.Array) -> Dict:
     }
 
 
+# int8 weight-only matmul implementation: "xla" (default) streams the int8
+# weights through XLA's native matmul with the dequant cast fused into the
+# operand — measured FASTER than the custom Pallas kernel inside the fused
+# decode loop on v5e at every serving batch (b=256: 8.4 vs 10.0 ms/step;
+# b=512: 15.3 vs 16.8), where XLA schedules/fuses globally and genuinely
+# streams int8 (dense bf16 is slower, so this is not a hoisted bf16 copy).
+# "pallas" keeps kernels/quant_matmul.py (still used for W8A8 and int4,
+# and for the fused greedy argmax lm_head which beats both).
+INT8_MM_IMPL = "xla"
+
+
 def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
     """Matmul dispatching on weight type: dense array or quantized QTensor.
 
-    QTensor weights route to the fused Pallas dequant-matmul
-    (kernels/quant_matmul.py) for INT8/INT4; FP8 dequantizes inline (XLA
-    fuses the cast into the matmul). ``act_bits=8`` additionally quantizes
-    the activations per row (W8A8/W4A8 — cfg.act_bits).
+    int8 QTensor weights route per INT8_MM_IMPL (XLA fused-dequant by
+    default; the Pallas kernel via "pallas"); int4 goes to the Pallas
+    unpack kernel; FP8 dequantizes inline. ``act_bits=8`` additionally
+    quantizes the activations per row (W8A8/W4A8 — cfg.act_bits) on the
+    Pallas int8-MXU path.
     """
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor, dequantize
 
@@ -114,6 +126,10 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
             # fp8, or int4 below the kernel's grouped-packing granularity:
             # dequantize inline (XLA fuses the cast into the matmul)
             return x @ dequantize(w, x.dtype)
+        if (w.bits == 8 and act_bits != 8 and w.packed_axis is None
+                and INT8_MM_IMPL == "xla"):
+            return x @ (w.values.astype(x.dtype)
+                        * w.scales.astype(x.dtype))
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul,
         )
@@ -136,6 +152,11 @@ def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
     ws = [lp.get("w_gate"), lp.get("w_up"), lp.get("w_down")]
+    if INT8_MM_IMPL != "pallas":
+        # with the XLA fused-dequant route, the 2-kernel (well, 2-matmul)
+        # path measures faster than the fused Pallas MLP at every serving
+        # batch — fusion only pays when the Pallas matmuls are the baseline
+        return False
     if act_bits is not None or h.shape[-2] != 1 or not all(
             isinstance(w, QTensor) and w.bits == 8 and w.packed_axis is None
             for w in ws):
