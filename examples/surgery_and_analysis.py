@@ -38,8 +38,11 @@ def main():
     ap.add_argument("--model", default=None,
                     help="HF checkpoint name/path; omit for a local random "
                          "bert-tiny (offline)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--softmax-n", type=float, default=1.0)
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from transformers import AutoModel
 
