@@ -126,10 +126,14 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
             # fp8, or int4 below the kernel's grouped-packing granularity:
             # dequantize inline (XLA fuses the cast into the matmul)
             return x @ dequantize(w, x.dtype)
-        if (w.bits == 8 and act_bits != 8 and w.packed_axis is None
-                and INT8_MM_IMPL == "xla"):
-            return x @ (w.values.astype(x.dtype)
-                        * w.scales.astype(x.dtype))
+        if act_bits != 8 and INT8_MM_IMPL == "xla":
+            if w.bits == 8 and w.packed_axis is None:
+                return x @ (w.values.astype(x.dtype)
+                            * w.scales.astype(x.dtype))
+            if w.bits == 4:
+                # XLA unpack+dequant+matmul: the Pallas int4 kernel's
+                # in-kernel int32 nibble unpack is VPU-bound on Mosaic
+                return x @ dequantize(w, x.dtype)
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul,
         )
