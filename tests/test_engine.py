@@ -71,6 +71,23 @@ class TestEngine:
         assert by_id[0].output == e1
         assert by_id[1].output == e2
 
+    def test_admission_preserves_bucket_fifo(self, params):
+        # _admit partitions the queue by prompt bucket (cross-bucket
+        # reorder is allowed) but must keep FIFO within a bucket and keep
+        # un-admitted requests queued in original order
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=64)
+        # bucket 32: a & c; bucket 64: b; only 2 slots -> a,c admitted
+        # first (same bucket groups), b stays queued
+        a = eng.submit([1] * 10, max_new_tokens=2)
+        b = eng.submit([2] * 40, max_new_tokens=2)
+        c = eng.submit([3] * 12, max_new_tokens=2)
+        eng._admit()
+        in_slots = {r.request_id for r in eng.slots if r is not None}
+        assert in_slots == {a, c}
+        assert [r.request_id for r in eng.queue] == [b]
+        done = eng.run_until_done()
+        assert {r.request_id for r in done} == {a, b, c}
+
     def test_more_requests_than_slots(self, params):
         # queueing: 5 requests through 2 slots
         prompts = [[i + 1, i + 2] for i in range(5)]
