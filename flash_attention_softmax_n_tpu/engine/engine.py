@@ -180,7 +180,8 @@ def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     x_last = jnp.take_along_axis(
         x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1)  # (nb,1,D)
     x_last = rms_norm(x_last, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x_last, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x_last, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
     return logits[:, 0], cache
 
 
@@ -203,8 +204,10 @@ def _greedy_fusable(params: Dict, cfg: DecoderConfig) -> bool:
     """Can the greedy sampling ride the lm_head kernel epilogue?
 
     kernels/quant_matmul.quantized_matmul_argmax: int8 unpacked lm_head,
-    no W8A8. Token-identical to argmax-of-logits (same dot/scale ops,
-    same first-index ties), but the (B, vocab) logits never touch HBM.
+    no W8A8. The kernel argmaxes the f32 accumulator directly, so tokens
+    can differ from the unfused path at near-ties (which round-trips
+    logits through bf16 — see quantized_matmul_argmax's docstring); the
+    (B, vocab) logits never touch HBM.
     """
     lm = params["lm_head"]
     return (isinstance(lm, QTensor) and lm.bits == 8
@@ -216,7 +219,6 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                  tail: Optional[Tuple[jax.Array, jax.Array]] = None,
                  tail_index: Optional[jax.Array] = None,
                  tail_lengths: Optional[jax.Array] = None,
-                 tail_view_len: Optional[int] = None,
                  greedy: bool = False):
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
@@ -260,13 +262,6 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
             lp, kc, vc = layer_in[:3]
             rest = layer_in[3:]
         kt, vt = rest if tail is not None else (None, None)
-        if kt is not None and tail_view_len is not None:
-            # attention only needs the rows the loop has written so far;
-            # the static per-sub-scan view keeps the ring read from
-            # streaming all W rows on every step (the slice fuses into
-            # the tail einsum — no copy)
-            kt = kt[:, :, :tail_view_len]
-            vt = vt[:, :, :tail_view_len]
 
         def attn(q, k, v):
             q = apply_rope(q, cos, sin, positions)
@@ -369,7 +364,8 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         lm = params["lm_head"]
         tok = quantized_matmul_argmax(x, lm.values, lm.scales)
         return tok[:, 0], cache, new_tail  # (B,) int32 greedy tokens
-    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
     return logits[:, 0], cache, new_tail
 
 
@@ -459,7 +455,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     greedy = temperature == 0.0 and mesh is None and _greedy_fusable(
         params, cfg)
 
-    def make_step(tail_view_len):
+    def make_step():
         def step(carry, xs):
             i, key = xs
             tok, cache, active, tail = carry
@@ -467,7 +463,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                 out, cache, tail = _decode_step(
                     params, cfg, tok, cache, active, mesh=mesh, tail=tail,
                     tail_index=i, tail_lengths=cache["lengths"] - base,
-                    tail_view_len=tail_view_len, greedy=greedy)
+                    greedy=greedy)
             else:
                 out, cache, _ = _decode_step(params, cfg, tok, cache, active,
                                              mesh=mesh, greedy=greedy)
@@ -491,10 +487,9 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     # attention reads a growing static view of the tail ring (16 or 32
     # steps per sub-scan) LOSES ~5-9% end-to-end — the sub-scan boundary
     # overhead outweighs the skipped not-yet-written tail rows. One scan
-    # over the full ring wins; _decode_step's tail_view_len stays for
-    # callers with static knowledge of the written span.
+    # over the full ring wins.
     carry, toks = jax.lax.scan(
-        make_step(None), carry,
+        make_step(), carry,
         (jnp.arange(num_steps, dtype=jnp.int32), keys))
     tok, cache, active, tail = carry
 

@@ -60,6 +60,14 @@ class DecoderConfig:
     # activations on the MXU, rank-1 dequant epilogue). Gate with
     # quant.gates (softmax-N outlier suppression is what makes this safe).
     act_bits: Any = None
+    # int8 weight-only matmul route: "xla" (default) streams the int8
+    # weights through XLA's native matmul with the dequant fused into the
+    # operand — measured faster than the Pallas kernel inside the fused
+    # decode loop on v5e at every serving batch (b=512: 15.3 vs 16.8
+    # ms/step; b=256: 8.4 vs 10.0). "pallas" keeps
+    # kernels/quant_matmul.py (which still serves W8A8 and int4, and
+    # enables the fused-MLP kernel). Baked in at trace time.
+    int8_mm_impl: str = "xla"
     # gradient rematerialization: recompute each layer in the backward
     # pass instead of storing its activations — O(1) activation memory in
     # depth, the standard long-sequence training trade (jax.checkpoint)
@@ -98,25 +106,15 @@ def init_decoder_params(cfg: DecoderConfig, rng: jax.Array) -> Dict:
     }
 
 
-# int8 weight-only matmul implementation: "xla" (default) streams the int8
-# weights through XLA's native matmul with the dequant cast fused into the
-# operand — measured FASTER than the custom Pallas kernel inside the fused
-# decode loop on v5e at every serving batch (b=256: 8.4 vs 10.0 ms/step;
-# b=512: 15.3 vs 16.8), where XLA schedules/fuses globally and genuinely
-# streams int8 (dense bf16 is slower, so this is not a hoisted bf16 copy).
-# "pallas" keeps kernels/quant_matmul.py (still used for W8A8 and int4,
-# and for the fused greedy argmax lm_head which beats both).
-INT8_MM_IMPL = "xla"
-
-
-def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
+def _mm(x: jax.Array, w, act_bits=None, int8_mm_impl: str = "xla"
+        ) -> jax.Array:
     """Matmul dispatching on weight type: dense array or quantized QTensor.
 
-    int8 QTensor weights route per INT8_MM_IMPL (XLA fused-dequant by
-    default; the Pallas kernel via "pallas"); int4 goes to the Pallas
-    unpack kernel; FP8 dequantizes inline. ``act_bits=8`` additionally
-    quantizes the activations per row (W8A8/W4A8 — cfg.act_bits) on the
-    Pallas int8-MXU path.
+    int8 QTensor weights route per ``int8_mm_impl`` (cfg.int8_mm_impl —
+    XLA fused-dequant by default, the Pallas kernel via "pallas"); int4
+    goes to the Pallas unpack kernel; FP8 dequantizes inline.
+    ``act_bits=8`` additionally quantizes the activations per row
+    (W8A8/W4A8 — cfg.act_bits) on the Pallas int8-MXU path.
     """
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor, dequantize
 
@@ -126,14 +124,11 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
             # fp8, or int4 below the kernel's grouped-packing granularity:
             # dequantize inline (XLA fuses the cast into the matmul)
             return x @ dequantize(w, x.dtype)
-        if act_bits != 8 and INT8_MM_IMPL == "xla":
-            if w.bits == 8 and w.packed_axis is None:
-                return x @ (w.values.astype(x.dtype)
-                            * w.scales.astype(x.dtype))
-            if w.bits == 4:
-                # XLA unpack+dequant+matmul: the Pallas int4 kernel's
-                # in-kernel int32 nibble unpack is VPU-bound on Mosaic
-                return x @ dequantize(w, x.dtype)
+        if (w.bits == 8 and act_bits != 8 and w.packed_axis is None
+                and int8_mm_impl == "xla"):
+            # f32 scale multiply, then one cast (quant/qtensor.dequantize
+            # semantics) — XLA fuses the whole chain into the dot operand
+            return x @ dequantize(w, x.dtype)
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul,
         )
@@ -142,7 +137,8 @@ def _mm(x: jax.Array, w, act_bits=None) -> jax.Array:
     return x @ w
 
 
-def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
+def _mlp_fusable(h: jax.Array, lp, act_bits,
+                 int8_mm_impl: str = "xla") -> bool:
     """Route the decode-regime SwiGLU block to the single fused Pallas
     kernel (kernels/fused_mlp.py): int8 QTensor gate/up/down, single-token
     decode (L == 1; prefill stays on the compute-tuned 2-kernel path even
@@ -156,7 +152,7 @@ def _mlp_fusable(h: jax.Array, lp, act_bits) -> bool:
     from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
     ws = [lp.get("w_gate"), lp.get("w_up"), lp.get("w_down")]
-    if INT8_MM_IMPL != "pallas":
+    if int8_mm_impl != "pallas":
         # with the XLA fused-dequant route, the 2-kernel (well, 2-matmul)
         # path measures faster than the fused Pallas MLP at every serving
         # batch — fusion only pays when the Pallas matmuls are the baseline
@@ -198,28 +194,32 @@ def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
     stream each, outputs split here. Decode matmuls are launch-overhead
     bound, so fewer kernels is a direct win.
     """
-    ab = cfg.act_bits
+    ab, mi = cfg.act_bits, cfg.int8_mm_impl
+
+    def mm(a, w):
+        return _mm(a, w, ab, mi)
+
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
     if "wqkv" in lp:
         qd = cfg.n_heads * cfg.head_dim
         kvd = cfg.n_kv_heads * cfg.head_dim
-        qkv = _mm(h, lp["wqkv"], ab)
+        qkv = mm(h, lp["wqkv"])
         q = _split_heads(qkv[..., :qd], cfg.n_heads)
         k = _split_heads(qkv[..., qd:qd + kvd], cfg.n_kv_heads)
         v = _split_heads(qkv[..., qd + kvd:], cfg.n_kv_heads)
     else:
-        q = _split_heads(_mm(h, lp["wq"], ab), cfg.n_heads)
-        k = _split_heads(_mm(h, lp["wk"], ab), cfg.n_kv_heads)
-        v = _split_heads(_mm(h, lp["wv"], ab), cfg.n_kv_heads)
+        q = _split_heads(mm(h, lp["wq"]), cfg.n_heads)
+        k = _split_heads(mm(h, lp["wk"]), cfg.n_kv_heads)
+        v = _split_heads(mm(h, lp["wv"]), cfg.n_kv_heads)
     ctx, extras = attn_fn(q, k, v)
-    attn_out = _mm(_merge_heads(ctx), lp["wo"], ab)
+    attn_out = mm(_merge_heads(ctx), lp["wo"])
     x = x + attn_out
     h = rms_norm(x, lp["mlp_norm"], cfg.norm_eps)
     if "w_gu" in lp:
-        gu = _mm(h, lp["w_gu"], ab)
+        gu = mm(h, lp["w_gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        mlp = _mm(jax.nn.silu(gate) * up, lp["w_down"], ab)
-    elif _mlp_fusable(h, lp, ab):
+        mlp = mm(jax.nn.silu(gate) * up, lp["w_down"])
+    elif _mlp_fusable(h, lp, ab, mi):
         from flash_attention_softmax_n_tpu.kernels.fused_mlp import (
             fused_mlp_matmul,
         )
@@ -227,8 +227,8 @@ def _layer(cfg: DecoderConfig, rope, x, lp, attn_fn):
         mlp = fused_mlp_matmul(h, wg.values, wg.scales, wu.values, wu.scales,
                                wd.values, wd.scales)
     else:
-        mlp = _mm(jax.nn.silu(_mm(h, lp["w_gate"], ab)) * _mm(h, lp["w_up"], ab),
-                  lp["w_down"], ab)
+        mlp = mm(jax.nn.silu(mm(h, lp["w_gate"])) * mm(h, lp["w_up"]),
+                 lp["w_down"])
     x = x + mlp
     return x, attn_out, extras
 
@@ -271,7 +271,8 @@ def decoder_forward(
         body = jax.checkpoint(body)
     x, tap_stack = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
 
     if collect_taps:
         taps = {f"layers.{i}.attention.output": tap_stack[i]
@@ -370,7 +371,8 @@ def prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     cache["length"] = jnp.asarray(l, jnp.int32)
 
     x = rms_norm(x[:, -1:], params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
     return logits[:, 0], cache
 
 
@@ -448,7 +450,8 @@ def decode_step(params: Dict, cfg: DecoderConfig, token: jax.Array,
     cache["length"] = pos + 1
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x, params["lm_head"], cfg.act_bits).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
     return logits[:, 0], cache
 
 

@@ -260,17 +260,12 @@ class TestFusedMLP:
                               cfg.dtype)
         # fusion only engages on the Pallas matmul route (the XLA
         # fused-dequant default measures faster unfused)
-        assert not D._mlp_fusable(h, lp, None)
-        orig_impl = D.INT8_MM_IMPL
-        D.INT8_MM_IMPL = "pallas"
-        try:
-            assert D._mlp_fusable(h, lp, None)
-            assert not D._mlp_fusable(h, lp, 8)  # W8A8: 2-kernel path
-            hp = jax.random.normal(jax.random.PRNGKey(2),
-                                   (8, 32, cfg.d_model), cfg.dtype)
-            assert not D._mlp_fusable(hp, lp, None)  # prefill (L>1) off
-        finally:
-            D.INT8_MM_IMPL = orig_impl
+        assert not D._mlp_fusable(h, lp, None, "xla")
+        assert D._mlp_fusable(h, lp, None, "pallas")
+        assert not D._mlp_fusable(h, lp, 8, "pallas")  # W8A8: 2-kernel path
+        hp = jax.random.normal(jax.random.PRNGKey(2),
+                               (8, 32, cfg.d_model), cfg.dtype)
+        assert not D._mlp_fusable(hp, lp, None, "pallas")  # prefill off
 
         wg, wu, wd = lp["w_gate"], lp["w_up"], lp["w_down"]
         fused = fused_mlp_matmul(h, wg.values, wg.scales, wu.values,
