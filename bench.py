@@ -15,26 +15,132 @@ so every measurement is closed with a host transfer of a reduced scalar.
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
-
-import jax
-import jax.numpy as jnp
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Robustness harness: the device relay behind jax can wedge so hard that
+# jax.devices() blocks forever inside backend init (observed: 25 min before
+# an external timeout killed the round-1 capture with zero parseable
+# output). Every run must end with ONE JSON line on stdout no matter what:
+#   - backend probe runs in a SUBPROCESS first (a hung child can be killed;
+#     a hung in-process C call cannot), with bounded retries + backoff;
+#   - the in-process init and the whole bench each sit under watchdog
+#     timers that print the best partial result and os._exit;
+#   - each secondary bench is fenced so its failure can't eat the headline.
+# ---------------------------------------------------------------------------
+
+RESULTS = {}
+_EMITTED = threading.Lock()
+
+
+def emit_and_exit(error=None, code=0):
+    """Print exactly one JSON line (idempotent) and hard-exit."""
+    if not _EMITTED.acquire(blocking=False):  # someone already emitted
+        os._exit(code)
+    out = {
+        "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
+                  "(INT8 weights + INT8 KV, continuous batching b=512; "
+                  "baseline: dense bf16 at its HBM-limited best b=256)",
+        "value": None,
+        "unit": "tokens/sec/chip",
+        "vs_baseline": None,
+    }
+    if "quant_tps" in RESULTS:
+        out["value"] = round(RESULTS["quant_tps"], 1)
+        if "dense_tps" in RESULTS:
+            out["vs_baseline"] = round(
+                RESULTS["quant_tps"] / RESULTS["dense_tps"], 3)
+    for k in ("churn_tps", "attn_sol_pct", "prefill_sol_pct"):
+        if k in RESULTS:
+            out[k] = round(RESULTS[k], 1)
+    if error is not None:
+        out["error"] = str(error)[:500]
+    print(json.dumps(out), flush=True)
+    os._exit(code)
+
+
+def watchdog(seconds, label):
+    """Daemon timer: if still alive after `seconds`, emit what we have."""
+    def fire():
+        log(f"WATCHDOG: {label} exceeded {seconds}s — emitting partial "
+            f"results and exiting")
+        emit_and_exit(error=f"watchdog: {label} exceeded {seconds}s")
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp; "
+    "print('PROBE_OK', float(jnp.sum(jnp.ones((128, 128)))), "
+    "jax.default_backend())"
+)
+
+
+def acquire_backend(attempts=3, probe_timeout=240):
+    """Probe backend readiness in a killable subprocess, then init
+    in-process under a watchdog. Returns the jax module."""
+    last_err = "unknown"
+    for i in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                log(f"backend probe ok in {time.time()-t0:.1f}s "
+                    f"(attempt {i+1}): {r.stdout.strip().splitlines()[-1]}")
+                break
+            last_err = (r.stderr or r.stdout).strip().splitlines()[-1:] or \
+                ["empty probe output"]
+            last_err = f"probe rc={r.returncode}: {last_err[0][:200]}"
+        except subprocess.TimeoutExpired:
+            last_err = f"probe hung >{probe_timeout}s (relay wedged?)"
+        log(f"backend probe attempt {i+1}/{attempts} failed: {last_err}")
+        if i + 1 < attempts:
+            backoff = 15 * (i + 1)
+            log(f"retrying in {backoff}s...")
+            time.sleep(backoff)
+    else:
+        emit_and_exit(error=f"backend unavailable after {attempts} probes: "
+                      f"{last_err}")
+
+    # the subprocess saw a live backend; in-process init should now be
+    # fast, but guard it anyway — the relay can wedge between calls
+    wd = watchdog(probe_timeout + 60, "in-process backend init")
+    import jax  # noqa: F811 (module-level import is deferred to here)
+    import jax.numpy as jnp
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    wd.cancel()
+    return jax, jnp
+
+
+jax = None  # set by main(); benches below reference the module global
+jnp = None
+
+
 def sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def build_model(dtype=jnp.bfloat16):
+def build_model(dtype=None):
     from flash_attention_softmax_n_tpu.models import (
         DecoderConfig,
         init_decoder_params,
     )
+
+    if dtype is None:
+        dtype = jnp.bfloat16
 
     # TinyLlama-1.1B shape: the canonical Llama-style 1B decoder
     # (BASELINE.json configs[3]), GQA 32 query / 4 kv heads
@@ -328,38 +434,74 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     return max(rates)
 
 
+def _fenced(label, fn, *a, **kw):
+    """Run a secondary bench; log-and-continue on failure."""
+    try:
+        return fn(*a, **kw)
+    except Exception as e:  # pragma: no cover - hardware-path resilience
+        log(f"SECONDARY BENCH FAILED ({label}): {type(e).__name__}: "
+            f"{str(e)[:300]}")
+        return None
+
+
 def main():
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    global jax, jnp
+    quick = "--quick" in sys.argv
+    # hard ceiling on the whole run: emit whatever we have before an
+    # external `timeout` would kill us with nothing on stdout
+    deadline = float(os.environ.get("BENCH_DEADLINE_S",
+                                    "600" if quick else "1380"))
+    watchdog(deadline, "total bench runtime")
+    jax, jnp = acquire_backend()
+
     cfg, params = build_model()
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    log(f"model: {n_params/1e9:.2f}B params, softmax_n={cfg.softmax_n}")
+    log(f"model: {n_params/1e9:.2f}B params, softmax_n={cfg.softmax_n}"
+        + (" [--quick]" if quick else ""))
 
-    # dense baseline: bf16 weights, bf16 KV. Each path runs at its best
-    # operating point on the chip: the bf16 cache caps the dense engine at
-    # b=256 (b=512 needs ~20G of 16G HBM), while INT8 weights + INT8 KV
-    # fit b=512 — half the quantization win IS the extra slots.
-    dense_tps = bench_decode(cfg, params, kv_quantization=None, batch=256)
-
-    # quantized: INT8 weight-only + INT8 KV cache
     from flash_attention_softmax_n_tpu.quant import quantize_decoder_weights
+
+    if quick:
+        # minimal driver-friendly tier: the headline quantized number at a
+        # smaller batch plus its dense baseline, nothing else
+        qparams = quantize_decoder_weights(params, bits=8)
+        quant_tps = bench_decode(cfg, qparams, kv_quantization="int8",
+                                 batch=256, decode_steps=32)
+        RESULTS["quant_tps"] = quant_tps
+        dense_tps = _fenced("dense", bench_decode, cfg, params,
+                            kv_quantization=None, batch=256, decode_steps=32)
+        if dense_tps:
+            RESULTS["dense_tps"] = dense_tps
+        emit_and_exit()
+
+    # the headline FIRST: if anything later dies, this number survives.
+    # quantized: INT8 weight-only + INT8 KV cache at b=512 (dense bf16
+    # can't fit that batch — half the quantization win IS the extra slots)
     qparams = quantize_decoder_weights(params, bits=8)
-    del params
     quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
+    RESULTS["quant_tps"] = quant_tps
 
-    bench_serving_churn(cfg, qparams)
+    # dense baseline: bf16 weights, bf16 KV at its HBM-limited best b=256
+    dense_tps = _fenced("dense baseline", bench_decode, cfg, params,
+                        kv_quantization=None, batch=256)
+    if dense_tps:
+        RESULTS["dense_tps"] = dense_tps
+    del params
 
-    bench_attn_sol(cfg, quantized=True)
-    bench_prefill_sol(cfg, calibrate=True)  # model geometry (hd=64, unpadded)
-    bench_prefill_sol(cfg, heads=16, head_dim=128)  # kernel-native geometry
+    churn = _fenced("serving churn", bench_serving_churn, cfg, qparams)
+    if churn:
+        RESULTS["churn_tps"] = churn
 
-    print(json.dumps({
-        "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
-                  "(INT8 weights + INT8 KV, continuous batching b=512; "
-                  "baseline: dense bf16 at its HBM-limited best b=256)",
-        "value": round(quant_tps, 1),
-        "unit": "tokens/sec/chip",
-        "vs_baseline": round(quant_tps / dense_tps, 3),
-    }))
+    sol = _fenced("attn SOL", bench_attn_sol, cfg, quantized=True)
+    if sol:
+        RESULTS["attn_sol_pct"] = sol
+    psol = _fenced("prefill SOL", bench_prefill_sol, cfg, calibrate=True)
+    if psol:
+        RESULTS["prefill_sol_pct"] = psol
+    _fenced("prefill SOL hd128", bench_prefill_sol, cfg, heads=16,
+            head_dim=128)
+
+    emit_and_exit()
 
 
 if __name__ == "__main__":
