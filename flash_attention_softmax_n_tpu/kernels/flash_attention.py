@@ -85,7 +85,66 @@ class FlashConfig:
     block_k: int = 1024
     has_bias: bool = False
     has_alibi: bool = False
+    dropout_rate: float = 0.0
+    grad_bias: bool = False  # emit dbias tiles from the backward kernel
     interpret: bool = False
+
+    @property
+    def has_dropout(self) -> bool:
+        return self.dropout_rate > 0.0
+
+
+# ----------------------------------------------------------------------------
+# In-kernel dropout: a counter-based hash instead of a stateful PRNG.
+#
+# The reference runs dropout through torch SDPA's fused kernel
+# (reference core/flash_attn.py:49,117-124) using cuRAND-style stateful
+# streams. On TPU we key every Bernoulli draw on its GLOBAL coordinates
+# (seed, batch, head, q_pos, k_pos) with a murmur3-style integer mix: the
+# mask is then identical across the forward and both backward kernels by
+# construction (no state to replay), independent of block shape, exactly
+# reproducible in plain XLA for oracle tests, and free of Mosaic-only
+# primitives so interpret mode (CPU CI) covers it too.
+# ----------------------------------------------------------------------------
+
+_MIX_A = np.int32(np.uint32(0x9E3779B9))  # golden-ratio odd constants
+_MIX_B = np.int32(np.uint32(0x85EBCA6B))
+_MIX_C = np.int32(np.uint32(0xC2B2AE35))
+_MIX_D = np.int32(np.uint32(0x27D4EB2F))
+
+
+def _fmix32(x):
+    """murmur3 finalizer: int32 -> well-mixed int32 (wrapping arithmetic)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * _MIX_B
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * _MIX_C
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def dropout_keep(seed, b, h, q_pos, k_pos, rate: float):
+    """Deterministic Bernoulli(1-rate) keep mask from global coordinates.
+
+    All integer args int32 (scalars or broadcastable arrays). The same
+    function, evaluated in plain jnp, is the test oracle for the fused
+    dropout path.
+    """
+    seed = jnp.asarray(seed, jnp.int32) if not isinstance(seed, int) else seed
+    x = q_pos * _MIX_A + k_pos * _MIX_B + b * _MIX_C + h * _MIX_D + seed
+    u = _fmix32(x) & np.int32(0x7FFFFFFF)  # uniform over [0, 2^31)
+    return u >= np.int32(min(int(round(rate * 2147483648.0)), 2147483647))
+
+
+def _dropout_mult(cfg: FlashConfig, seed, b, h, iq, ik):
+    """(block_q, block_k) f32 multiplier: keep/(1-rate) or 0 (inverted dropout)."""
+    q_pos = iq * cfg.block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (cfg.block_q, cfg.block_k), 0)
+    k_pos = ik * cfg.block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (cfg.block_q, cfg.block_k), 1)
+    keep = dropout_keep(seed, b, h, q_pos, k_pos, cfg.dropout_rate)
+    return jnp.where(keep, 1.0 / (1.0 - cfg.dropout_rate), 0.0).astype(
+        jnp.float32)
 
 
 def _causal_offset(cfg: FlashConfig) -> int:
@@ -163,19 +222,24 @@ def _scores(cfg: FlashConfig, q, k, bias, alibi_slope, iq, ik):
 # ----------------------------------------------------------------------------
 
 
-def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
-    if cfg.has_bias and cfg.has_alibi:
-        q_ref, k_ref, v_ref, b_ref, a_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-    elif cfg.has_bias:
-        q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-        a_ref = None
-    elif cfg.has_alibi:
-        q_ref, k_ref, v_ref, a_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-        b_ref = None
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-        b_ref = a_ref = None
+def _parse_in_refs(cfg: FlashConfig, refs):
+    """Consume [q, k, v, bias?, alibi?, seed?] from the ref list; returns
+    ((q, k, v, b_ref, a_ref, seed_ref), rest)."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    b_ref = next(it) if cfg.has_bias else None
+    a_ref = next(it) if cfg.has_alibi else None
+    seed_ref = next(it) if cfg.has_dropout else None
+    return (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), list(it)
 
+
+def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
+    (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), rest = _parse_in_refs(
+        cfg, refs)
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -205,9 +269,15 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
+        # the softmax denominator is pre-dropout: l accumulates the
+        # UNdropped probabilities, the value accumulator the dropped ones
+        # (dropout applies to normalized weights; the mask commutes with
+        # the deferred normalization)
         l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        if cfg.has_dropout:
+            p = p * _dropout_mult(cfg, seed_ref[0, 0], ib, ih, iq, ik)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -230,7 +300,11 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         lse_ref[0, 0] = lse[:, :1]
 
 
-def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
+def _seed_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
     """Padded-shape forward. q (B,H,Lp,Ep), k/v (B,H,Sp,Ep), bias (b,h,Lp,Sp)."""
     q = q * jnp.asarray(cfg.scale, q.dtype)  # fold scale once on (L, E)
     batch, heads, q_len_p, d = q.shape
@@ -266,6 +340,9 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
             pl.BlockSpec((1, 1, 1, 1), lambda b, h, iq, ik: (0, h, 0, 0))
         )
         args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    if cfg.has_dropout:
+        in_specs.append(_seed_spec())
+        args.append(seed.reshape(1, 1).astype(jnp.int32))
 
     out_shape = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -308,26 +385,31 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
 # ----------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
-    if cfg.has_bias and cfg.has_alibi:
-        (q_ref, k_ref, v_ref, b_ref, a_ref, do_ref, lse_ref, dl_ref,
-         dq_ref, dq_scr) = refs
-    elif cfg.has_bias:
-        q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
-        a_ref = None
-    elif cfg.has_alibi:
-        q_ref, k_ref, v_ref, a_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
-        b_ref = None
-    else:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr = refs
-        b_ref = a_ref = None
+def _bwd_dq_kernel(cfg: FlashConfig, num_q_blocks: int, num_kv_blocks: int,
+                   *refs):
+    (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), rest = _parse_in_refs(
+        cfg, refs)
+    it = iter(rest)
+    do_ref, lse_ref, dl_ref, dq_ref = next(it), next(it), next(it), next(it)
+    dbias_ref = next(it) if cfg.grad_bias else None
+    dslope_ref = next(it) if cfg.has_alibi else None
+    dq_scr = next(it)
+    dslope_scr = next(it) if cfg.has_alibi else None
 
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if cfg.has_alibi:
+        # dslope accumulates over the WHOLE (iq, ik) sweep of one (b, h)
+        @pl.when(jnp.logical_and(iq == 0, ik == 0))
+        def _init_slope():
+            dslope_scr[...] = jnp.zeros_like(dslope_scr)
 
     def _body():
         q = q_ref[0, 0]
@@ -346,7 +428,25 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if cfg.has_dropout:
+            # d(attn weight) sees the kept/(1-r) multiplier; delta already
+            # equals sum_i w_i * dmult_i * dp_i because o carries the mask
+            dp = dp * _dropout_mult(cfg, seed_ref[0, 0], ib, ih, iq, ik)
         ds = p * (dp - delta)
+        if cfg.grad_bias:
+            # bias enters the scores additively AFTER the q-folded scale, so
+            # dbias is exactly ds for this tile (zero in masked/padded
+            # regions since p or dp-delta vanish there)
+            dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+        if cfg.has_alibi:
+            # s += slope * -(|dist|)  =>  dslope += sum(ds * -|dist|)
+            q_pos = iq * cfg.block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (cfg.block_q, cfg.block_k), 0)
+            k_pos = ik * cfg.block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (cfg.block_q, cfg.block_k), 1)
+            dist = (q_pos + _causal_offset(cfg) - k_pos).astype(jnp.float32)
+            contrib = jnp.sum(ds * -jnp.abs(dist))
+            dslope_scr[...] += jnp.full_like(dslope_scr, contrib)
         dq_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -354,6 +454,11 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
 
     if cfg.is_causal:
         pl.when(_block_visible(cfg, iq, ik))(_body)
+        if cfg.grad_bias:
+            # skipped (fully-masked) tiles still own an output block
+            @pl.when(jnp.logical_not(_block_visible(cfg, iq, ik)))
+            def _zero_dbias():
+                dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
     else:
         _body()
 
@@ -363,24 +468,20 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
         # which already accounts for dk; dq needs the explicit factor).
         dq_ref[0, 0] = (cfg.scale * dq_scr[...]).astype(dq_ref.dtype)
 
+    if cfg.has_alibi:
+        @pl.when(jnp.logical_and(iq == num_q_blocks - 1,
+                                 ik == num_kv_blocks - 1))
+        def _flush_slope():
+            dslope_ref[0, 0] = dslope_scr[...]
+
 
 def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
-    if cfg.has_bias and cfg.has_alibi:
-        (q_ref, k_ref, v_ref, b_ref, a_ref, do_ref, lse_ref, dl_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-    elif cfg.has_bias:
-        (q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        a_ref = None
-    elif cfg.has_alibi:
-        (q_ref, k_ref, v_ref, a_ref, do_ref, lse_ref, dl_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        b_ref = None
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        b_ref = a_ref = None
+    (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), rest = _parse_in_refs(
+        cfg, refs)
+    do_ref, lse_ref, dl_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
 
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     ik = pl.program_id(2)
     iq = pl.program_id(3)
 
@@ -401,15 +502,24 @@ def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
 
         s = _scores(cfg, q, k, bias, slope, iq, ik)
         p = jnp.exp(s - lse)
-        # dv += p^T @ do
+        if cfg.has_dropout:
+            # same mask as forward (regenerated from global coordinates);
+            # dv sees the dropped weights, ds the masked dp
+            dmult = _dropout_mult(cfg, seed_ref[0, 0], ib, ih, iq, ik)
+            pd = p * dmult
+        else:
+            pd = p
+        # dv += (dropped p)^T @ do
         dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if cfg.has_dropout:
+            dp = dp * dmult
         ds = p * (dp - delta)
         # dk += ds^T @ (scale * q) — q arrives pre-scaled, so no extra factor
         dk_scr[...] += jax.lax.dot_general(
@@ -444,7 +554,7 @@ def _bias_spec(cfg: FlashConfig, bias, iq_of, ik_of):
 
 
 def _bwd(cfg: FlashConfig, residuals, do):
-    q, k, v, bias, alibi_slopes, o, lse = residuals
+    q, k, v, bias, alibi_slopes, seed, o, lse = residuals
     q = q * jnp.asarray(cfg.scale, q.dtype)  # same fold as forward
     batch, heads, q_len_p, d = q.shape
     kv_len_p = k.shape[2]
@@ -463,7 +573,7 @@ def _bwd(cfg: FlashConfig, residuals, do):
     k_spec_q = pl.BlockSpec((1, 1, cfg.block_k, d), lambda b, h, iq, ik: (b, h, ik, 0))
     row_spec_q = pl.BlockSpec((1, 1, cfg.block_q, 1), lambda b, h, iq, ik: (b, h, iq, 0))
 
-    # ---- dq ----
+    # ---- dq (+ dbias, dslopes) ----
     in_specs = [q_spec_q, k_spec_q, k_spec_q]
     args = [q, k, v]
     if cfg.has_bias:
@@ -472,21 +582,54 @@ def _bwd(cfg: FlashConfig, residuals, do):
     if cfg.has_alibi:
         in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, h, iq, ik: (0, h, 0, 0)))
         args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    if cfg.has_dropout:
+        in_specs.append(_seed_spec())
+        args.append(seed.reshape(1, 1).astype(jnp.int32))
     in_specs += [q_spec_q, row_spec_q, row_spec_q]
     args += [do, lse, delta]
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, cfg, nk),
+    out_specs = [q_spec_q]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if cfg.grad_bias:
+        # per-(b, h) tiles in f32; reduced to the bias broadcast shape by
+        # the caller (matches torch autograd, which also materializes the
+        # full (B, H, L, S) cotangent before summing broadcast dims)
+        out_specs.append(pl.BlockSpec((1, 1, cfg.block_q, cfg.block_k),
+                                      lambda b, h, iq, ik: (b, h, iq, ik)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, heads, q_len_p, kv_len_p), jnp.float32))
+    if cfg.has_alibi:
+        # lane-replicated per-(b, h) partial; summed over b by the caller
+        out_specs.append(pl.BlockSpec((1, 1, 1, LANES),
+                                      lambda b, h, iq, ik: (b, h, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, heads, 1, LANES), jnp.float32))
+
+    scratch_shapes = [pltpu.VMEM((cfg.block_q, d), jnp.float32)]
+    if cfg.has_alibi:
+        scratch_shapes.append(pltpu.VMEM((1, LANES), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, cfg, nq, nk),
         grid=(batch, heads, nq, nk),
         in_specs=in_specs,
-        out_specs=q_spec_q,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((cfg.block_q, d), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel",
+                # dslope accumulation spans the whole (iq, ik) sweep, so iq
+                # must keep program order when slopes are differentiated
+                "arbitrary" if cfg.has_alibi else "parallel",
+                "arbitrary"),
         ),
         interpret=cfg.interpret,
     )(*args)
+    outs = list(outs) if isinstance(outs, (list, tuple)) else [outs]
+    dq = outs.pop(0)
+    dbias = outs.pop(0) if cfg.grad_bias else None
+    dslopes = outs.pop(0)[:, :, 0, 0] if cfg.has_alibi else None
 
     # ---- dk, dv ---- (kv blocks outer, q blocks inner)
     q_spec_kv = pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, ik, iq: (b, h, iq, 0))
@@ -501,6 +644,9 @@ def _bwd(cfg: FlashConfig, residuals, do):
     if cfg.has_alibi:
         in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, h, ik, iq: (0, h, 0, 0)))
         args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    if cfg.has_dropout:
+        in_specs.append(_seed_spec())
+        args.append(seed.reshape(1, 1).astype(jnp.int32))
     in_specs += [q_spec_kv, row_spec_kv, row_spec_kv]
     args += [do, lse, delta]
 
@@ -523,7 +669,7 @@ def _bwd(cfg: FlashConfig, residuals, do):
         interpret=cfg.interpret,
     )(*args)
 
-    return dq, dk, dv
+    return dq, dk, dv, dbias, dslopes
 
 
 # ----------------------------------------------------------------------------
@@ -533,21 +679,30 @@ def _bwd(cfg: FlashConfig, residuals, do):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
-    return _fwd(cfg, q, k, v, bias, alibi_slopes)
+def _flash(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
+    return _fwd(cfg, q, k, v, bias, alibi_slopes, seed)
 
 
-def _flash_fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes):
-    o, lse = _fwd(cfg, q, k, v, bias, alibi_slopes)
-    return (o, lse), (q, k, v, bias, alibi_slopes, o, lse)
+def _flash_fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
+    o, lse = _fwd(cfg, q, k, v, bias, alibi_slopes, seed)
+    return (o, lse), (q, k, v, bias, alibi_slopes, seed, o, lse)
 
 
 def _flash_bwd(cfg: FlashConfig, residuals, cotangents):
     do, _ = cotangents  # lse is a non-differentiable auxiliary output
-    dq, dk, dv = _bwd(cfg, residuals, do)
-    # bias / alibi_slopes are treated as non-differentiable (the reference
-    # test surface only exercises q/k/v grads; dbias lands in a later round).
-    return dq, dk, dv, None, None
+    dq, dk, dv, dbias, dslopes = _bwd(cfg, residuals, do)
+    bias = residuals[3]
+    if dbias is not None and bias is not None:
+        # reduce per-(b, h) tiles to the bias's broadcast shape (the same
+        # sum torch autograd performs over expanded dims)
+        if bias.shape[0] == 1:
+            dbias = jnp.sum(dbias, axis=0, keepdims=True)
+        if bias.shape[1] == 1:
+            dbias = jnp.sum(dbias, axis=1, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+    if dslopes is not None:
+        dslopes = jnp.sum(dslopes, axis=0)  # (H,) f32
+    return dq, dk, dv, dbias, dslopes, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -563,6 +718,9 @@ def flash_attention_n_fused(
     bias: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     is_causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
+    bias_needs_grad: bool = True,
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
@@ -574,8 +732,19 @@ def flash_attention_n_fused(
     masked in-kernel against the true ``kv_len``; padded queries/channels are
     sliced away — their zero cotangents make the backward exact).
 
-    ``bias`` is an additive float bias broadcastable as (B|1, H|1, L, S).
-    ``alibi_slopes`` is a per-head (H,) slope vector applied in-kernel.
+    ``bias`` is an additive float bias broadcastable as (B|1, H|1, L, S);
+    it is differentiable (the backward emits per-tile ds and reduces over
+    broadcast dims — reference parity with autograd through the merged mask,
+    core/flash_attn.py:87-124) unless ``bias_needs_grad=False``, which skips
+    the O(B·H·L·S) cotangent materialization for non-learned masks.
+    ``alibi_slopes`` is a per-head (H,) slope vector applied in-kernel, also
+    differentiable.
+
+    ``dropout_rate``/``dropout_seed``: in-kernel attention dropout (applied
+    to the normalized weights, inverted scaling — reference
+    core/functional.py:92 semantics). The mask is a deterministic hash of
+    (seed, b, h, q_pos, k_pos) — see ``dropout_keep`` — so the backward
+    regenerates it exactly; no (L, S) mask ever touches HBM.
 
     ``return_residuals=True`` additionally returns the softmax-N logsumexp
     ``lse = log(n + sum_j exp(s_j))`` of shape (B, H, L) — the associative-
@@ -594,6 +763,13 @@ def flash_attention_n_fused(
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
+    seed = None
+    if dropout_rate > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        seed = jnp.asarray(dropout_seed, jnp.int32)
 
     block_q = min(block_q, _round_up(q_len, 128))
     block_k = min(block_k, _round_up(kv_len, 128))
@@ -614,6 +790,8 @@ def flash_attention_n_fused(
         block_k=block_k,
         has_bias=bias is not None,
         has_alibi=alibi_slopes is not None,
+        dropout_rate=float(dropout_rate),
+        grad_bias=bias is not None and bias_needs_grad,
         interpret=bool(interpret),
     )
 
@@ -635,7 +813,7 @@ def flash_attention_n_fused(
     if alibi_slopes is not None:
         slopes = alibi_slopes.astype(jnp.float32).reshape(heads)
 
-    out, lse = _flash(cfg, qp, kp, vp, bp, slopes)
+    out, lse = _flash(cfg, qp, kp, vp, bp, slopes, seed)
     out = out[:, :, :q_len, :d]
     if return_residuals:
         return out, lse[:, :, :q_len, 0]

@@ -11,9 +11,10 @@ Dispatch (replaces the reference's CUDA-arch sniffing ``_flash_attn_config``,
 flash_attn.py:17-35):
 
   * ``implementation='pallas'`` — the fused Pallas kernel (TPU; interpreted
-    on CPU). No dropout; requires E == Ev.
+    on CPU). In-kernel dropout (hash-based, no HBM mask), differentiable
+    bias/ALiBi; requires E == Ev.
   * ``implementation='xla'``    — unfused jnp ops; XLA fuses them. Supports
-    dropout and E != Ev.
+    E != Ev.
   * ``implementation='auto'``   — pallas when eligible, else xla.
 
 Input handling mirrors the reference: 2-D/3-D/4-D tensors, 3-D K/V broadcast
@@ -130,21 +131,37 @@ def flash_attention_n(
         bias = b4 if bias is None else bias + b4
 
     use_dropout = dropout_p > 0.0 and train
-    can_pallas = (E == Ev) and not use_dropout
+    if use_dropout and dropout_rng is None:
+        raise ValueError("dropout requires dropout_rng")
+    can_pallas = E == Ev
     if implementation == "auto":
         implementation = "pallas" if can_pallas else "xla"
     if implementation == "pallas" and not can_pallas:
         raise ValueError(
-            "pallas path requires E == Ev and no dropout; use implementation='xla'"
+            "pallas path requires E == Ev; use implementation='xla'"
         )
 
     if implementation == "pallas":
+        seed = None
+        if use_dropout:
+            # Fold the PRNG key to the 32-bit seed the in-kernel hash expects
+            # (kernels/flash_attention.py dropout_keep). Fused dropout is a
+            # feature the reference only has via torch SDPA's stateful streams
+            # (reference core/flash_attn.py:49,117-124).
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
         out = flash_attention_n_fused(
             q4, k4, v4,
             softmax_n_param=n,
             scale=scale,
             bias=bias,
             is_causal=is_causal,
+            dropout_rate=dropout_p if use_dropout else 0.0,
+            dropout_seed=seed,
+            # a boolean attend-mask is not a learned parameter; skip the
+            # O(B·H·L·S) dbias materialization unless a float bias was given
+            bias_needs_grad=attn_bias is not None,
             block_q=block_q,
             block_k=block_k,
         )

@@ -235,6 +235,198 @@ class TestFlashGradients:
             np.testing.assert_allclose(a, b, atol=5e-3)
 
 
+class TestFusedDropoutAndBiasGrads:
+    """In-kernel dropout + differentiable bias/ALiBi (reference parity:
+    core/flash_attn.py:49,117-124 runs dropout through the fused SDPA kernel
+    and differentiates bias via autograd)."""
+
+    def _oracle(self, q, k, v, *, n, bias=None, slopes=None, rate=0.0,
+                seed=0, causal=False):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            dropout_keep,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+
+        B, H, L, E = q.shape
+        S = k.shape[2]
+        s = jnp.einsum("bhle,bhse->bhls", q, k) / math.sqrt(E)
+        if bias is not None:
+            s = s + bias
+        if slopes is not None:
+            qp = jnp.arange(L)[:, None]
+            kp = jnp.arange(S)[None, :]
+            dist = (qp + (S - L) - kp).astype(jnp.float32)
+            s = s - slopes[None, :, None, None] * jnp.abs(dist)[None, None]
+        if causal:
+            m = jnp.tril(jnp.ones((L, S), bool), k=S - L)
+            s = jnp.where(m, s, -1e30)
+        p = softmax_n(s, n=n, axis=-1)
+        if rate > 0:
+            keep = dropout_keep(
+                seed,
+                jnp.arange(B)[:, None, None, None],
+                jnp.arange(H)[None, :, None, None],
+                jnp.arange(L)[None, None, :, None],
+                jnp.arange(S)[None, None, None, :],
+                rate,
+            )
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        return jnp.einsum("bhls,bhsv->bhlv", p, v)
+
+    def test_fused_dropout_matches_hash_oracle(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(30), 2, 3, 200, 64, S=264)
+        out = flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, dropout_rate=0.3, dropout_seed=77,
+            block_q=128, block_k=128)
+        ref = self._oracle(q, k, v, n=1.0, rate=0.3, seed=77)
+        np.testing.assert_allclose(out, ref, atol=ATOL[jnp.float32])
+
+    def test_fused_dropout_block_shape_independent(self):
+        # The hash keys on GLOBAL coordinates, so the mask must not depend
+        # on the kernel tiling.
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(31), 1, 2, 256, 64)
+        a = flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, dropout_rate=0.2, dropout_seed=5,
+            block_q=128, block_k=128)
+        b = flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, dropout_rate=0.2, dropout_seed=5,
+            block_q=256, block_k=256)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        c = flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, dropout_rate=0.2, dropout_seed=6,
+            block_q=128, block_k=128)
+        assert not bool(jnp.allclose(a, c))
+
+    def test_fused_dropout_keep_rate(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            dropout_keep,
+        )
+        keep = dropout_keep(
+            123,
+            jnp.int32(0), jnp.int32(0),
+            jnp.arange(512)[:, None], jnp.arange(512)[None, :], 0.3)
+        rate = 1.0 - float(jnp.mean(keep.astype(jnp.float32)))
+        assert abs(rate - 0.3) < 0.01
+
+    def test_grads_through_fused_dropout(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(32), 2, 2, 136, 64)
+
+        def fused_loss(q, k, v):
+            o = flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, is_causal=True,
+                dropout_rate=0.25, dropout_seed=9, block_q=128, block_k=128)
+            return jnp.sum(o * o)
+
+        def slow_loss(q, k, v):
+            o = self._oracle(q, k, v, n=1.0, rate=0.25, seed=9, causal=True)
+            return jnp.sum(o * o)
+
+        g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(q, k, v)
+        g_slow = jax.grad(slow_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_fused, g_slow, "qkv"):
+            np.testing.assert_allclose(a, b, atol=5e-3, err_msg=f"grad d{name}")
+
+    @pytest.mark.parametrize("bshape", [(2, 2), (1, 2), (2, 1), (1, 1)])
+    def test_bias_cotangent_matches_oracle(self, bshape):
+        # dbias through the fused kernel, reduced over broadcast dims —
+        # the gradient the reference gets from torch autograd through its
+        # merged mask (core/flash_attn.py:87-124).
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(33), 2, 2, 96, 64)
+        bias = 0.5 * jax.random.normal(jax.random.PRNGKey(34), (*bshape, 96, 96))
+
+        def fused_loss(bias):
+            o = flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, bias=bias, is_causal=True,
+                block_q=128, block_k=128)
+            return jnp.sum(jnp.sin(o))
+
+        def slow_loss(bias):
+            o = self._oracle(
+                q, k, v, n=1.0,
+                bias=jnp.broadcast_to(bias, (2, 2, 96, 96)), causal=True)
+            return jnp.sum(jnp.sin(o))
+
+        g_fused = jax.grad(fused_loss)(bias)
+        g_slow = jax.grad(slow_loss)(bias)
+        assert g_fused.shape == bias.shape
+        np.testing.assert_allclose(g_fused, g_slow, atol=5e-3)
+
+    def test_alibi_slopes_cotangent(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(35), 2, 4, 96, 64, S=128)
+        slopes = jnp.asarray([2.0 ** -(i + 1) for i in range(4)])
+
+        def fused_loss(slopes):
+            o = flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, alibi_slopes=slopes,
+                is_causal=True, block_q=128, block_k=128)
+            return jnp.sum(o * jnp.cos(o))
+
+        def slow_loss(slopes):
+            o = self._oracle(q, k, v, n=1.0, slopes=slopes, causal=True)
+            return jnp.sum(o * jnp.cos(o))
+
+        g_fused = jax.grad(fused_loss)(slopes)
+        g_slow = jax.grad(slow_loss)(slopes)
+        np.testing.assert_allclose(g_fused, g_slow, rtol=2e-4, atol=1e-5)
+
+    def test_bias_and_dropout_combined_grads(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(36), 1, 2, 64, 32)
+        bias = 0.3 * jax.random.normal(jax.random.PRNGKey(37), (1, 2, 64, 64))
+
+        def fused_loss(q, bias):
+            o = flash_attention_n_fused(
+                q, k, v, softmax_n_param=2.0, bias=bias,
+                dropout_rate=0.1, dropout_seed=11, block_q=64, block_k=64)
+            return jnp.sum(o * o)
+
+        def slow_loss(q, bias):
+            o = self._oracle(q, k, v, n=2.0,
+                             bias=jnp.broadcast_to(bias, (1, 2, 64, 64)),
+                             rate=0.1, seed=11)
+            return jnp.sum(o * o)
+
+        g_fused = jax.grad(fused_loss, argnums=(0, 1))(q, bias)
+        g_slow = jax.grad(slow_loss, argnums=(0, 1))(q, bias)
+        for a, b in zip(g_fused, g_slow):
+            np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_public_api_dropout_uses_fused_path(self):
+        # Under implementation='pallas' dropout no longer raises and is
+        # deterministic given the rng.
+        q, k, v = _qkv4(jax.random.PRNGKey(38), 1, 2, 64, 32)
+        rng = jax.random.PRNGKey(2)
+        a = flash_attention_n(q, k, v, softmax_n_param=1.0, dropout_p=0.4,
+                              dropout_rng=rng, implementation="pallas")
+        b = flash_attention_n(q, k, v, softmax_n_param=1.0, dropout_p=0.4,
+                              dropout_rng=rng, implementation="pallas")
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        base = flash_attention_n(q, k, v, softmax_n_param=1.0,
+                                 implementation="pallas")
+        assert not bool(jnp.allclose(a, base))
+        # eval mode bypasses dropout entirely
+        ev = flash_attention_n(q, k, v, softmax_n_param=1.0, dropout_p=0.4,
+                               train=False, implementation="pallas")
+        np.testing.assert_allclose(ev, base, atol=1e-6)
+
+
 class TestPublicAPI:
     def test_3d_inputs(self):
         q, k, v = get_query_key_value(jax.random.PRNGKey(17), 3, 40, 32)
