@@ -1,0 +1,337 @@
+"""End-to-end XLNet model with softmax-N two-stream relative attention.
+
+The TPU-native counterpart of the reference's XLNet surgery target: where the
+reference rebinds ``XLNetRelativeAttention.rel_attn_core`` on a live HF torch
+model (reference surgery/surgery_functions/_xlnet.py:11-75) so the *whole
+model* runs softmax-N, we ship a first-party XLNet whose attention core
+(ops/relative_attention.py) takes ``softmax_n`` from config, plus an HF
+checkpoint converter (surgery/convert.py ``xlnet_params_from_hf``) — the same
+checkpoint-rewrite surgery design as BERT/decoder.
+
+Numerics match HF ``XLNetModel`` (eval mode) at softmax_n=0, including:
+  * relative positional encoding (bi/uni attn_type, bi_data, clamp_len),
+  * segment attention (token_type_ids -> one-hot seg_mat, mem rows segment 0),
+  * attention_mask / input_mask / perm_mask merging into the data mask,
+  * the h-stream non-target (diagonal-allowed) mask vs the g-stream mask,
+  * two-stream attention with target_mapping (the permutation-LM query
+    stream driven by ``mask_emb``),
+  * mems (Transformer-XL style recurrence cache) with mem_len / reuse_len.
+
+Layer weights are stacked and scanned (one compiled block body). Everything
+runs seq-first internally, matching XLNet's native layout, so converted HF
+weights drop in unchanged; the public API is batch-first like HF.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_softmax_n_tpu.models.layers import gelu, layer_norm
+from flash_attention_softmax_n_tpu.ops.relative_attention import (
+    xlnet_rel_attn_core_n,
+)
+
+__all__ = ["XLNetConfig", "init_xlnet_params", "xlnet_forward"]
+
+
+@dataclasses.dataclass(frozen=True)
+class XLNetConfig:
+    vocab_size: int = 32000
+    d_model: int = 1024
+    n_layers: int = 24
+    n_heads: int = 16
+    d_head: int = 64
+    d_inner: int = 4096
+    ff_activation: str = "gelu"
+    attn_type: str = "bi"  # 'bi' (XLNet) or 'uni' (Transformer-XL style)
+    bi_data: bool = False
+    clamp_len: int = -1
+    same_length: bool = False
+    mem_len: Optional[int] = None
+    reuse_len: Optional[int] = None
+    softmax_n: float = 0.0
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.float32
+    model_type: str = "xlnet"
+
+
+def init_xlnet_params(cfg: XLNetConfig, rng: jax.Array) -> Dict:
+    d, nh, dh, f, nl = (cfg.d_model, cfg.n_heads, cfg.d_head, cfg.d_inner,
+                        cfg.n_layers)
+    keys = iter(jax.random.split(rng, 16))
+
+    def w(shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * 0.02
+                ).astype(cfg.dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, cfg.dtype)
+
+    def ones(shape):
+        return jnp.ones(shape, cfg.dtype)
+
+    return {
+        "word_embedding": w((cfg.vocab_size, d)),
+        "mask_emb": w((1, 1, d)),
+        "layers": {
+            # projection tensors keep HF's (d_model, n_head, d_head) layout
+            "q": w((nl, d, nh, dh)), "k": w((nl, d, nh, dh)),
+            "v": w((nl, d, nh, dh)), "o": w((nl, d, nh, dh)),
+            "r": w((nl, d, nh, dh)),
+            "r_w_bias": w((nl, nh, dh)), "r_r_bias": w((nl, nh, dh)),
+            "r_s_bias": w((nl, nh, dh)), "seg_embed": w((nl, 2, nh, dh)),
+            "attn_ln_scale": ones((nl, d)), "attn_ln_bias": zeros((nl, d)),
+            "ff1_w": w((nl, d, f)), "ff1_b": zeros((nl, f)),
+            "ff2_w": w((nl, f, d)), "ff2_b": zeros((nl, d)),
+            "ff_ln_scale": ones((nl, d)), "ff_ln_bias": zeros((nl, d)),
+        },
+    }
+
+
+def _activation(cfg: XLNetConfig):
+    if cfg.ff_activation == "gelu":
+        return gelu
+    if cfg.ff_activation == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unsupported ff_activation {cfg.ff_activation!r}")
+
+
+def _positional_embedding(pos_seq: jax.Array, inv_freq: jax.Array,
+                          bsz: int) -> jax.Array:
+    """(len(pos_seq), bsz, d_model) sinusoidal table (HF layout)."""
+    sinusoid = jnp.einsum("i,d->id", pos_seq, inv_freq)
+    pos_emb = jnp.concatenate([jnp.sin(sinusoid), jnp.cos(sinusoid)], axis=-1)
+    return jnp.broadcast_to(pos_emb[:, None, :],
+                            (pos_emb.shape[0], bsz, pos_emb.shape[1]))
+
+
+def _relative_positional_encoding(cfg: XLNetConfig, qlen: int, klen: int,
+                                  bsz: int) -> jax.Array:
+    """HF XLNetModel.relative_positional_encoding, jnp (eval, no dropout)."""
+    freq_seq = jnp.arange(0, cfg.d_model, 2.0, dtype=jnp.float32)
+    inv_freq = 1.0 / jnp.power(10000.0, freq_seq / cfg.d_model)
+
+    if cfg.attn_type == "bi":
+        beg, end = klen, -qlen
+    elif cfg.attn_type == "uni":
+        beg, end = klen, -1
+    else:
+        raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
+
+    if cfg.bi_data:
+        if bsz % 2 != 0:
+            raise ValueError("bi_data requires an even batch size")
+        fwd = jnp.arange(beg, end, -1.0, dtype=jnp.float32)
+        bwd = jnp.arange(-beg, -end, 1.0, dtype=jnp.float32)
+        if cfg.clamp_len > 0:
+            fwd = jnp.clip(fwd, -cfg.clamp_len, cfg.clamp_len)
+            bwd = jnp.clip(bwd, -cfg.clamp_len, cfg.clamp_len)
+        return jnp.concatenate(
+            [_positional_embedding(fwd, inv_freq, bsz // 2),
+             _positional_embedding(bwd, inv_freq, bsz // 2)], axis=1)
+    fwd = jnp.arange(beg, end, -1.0, dtype=jnp.float32)
+    if cfg.clamp_len > 0:
+        fwd = jnp.clip(fwd, -cfg.clamp_len, cfg.clamp_len)
+    return _positional_embedding(fwd, inv_freq, bsz)
+
+
+def _create_causal_mask(cfg: XLNetConfig, qlen: int, mlen: int) -> jax.Array:
+    """(qlen, qlen+mlen) float mask, 1 = masked (HF create_mask)."""
+    mask = jnp.triu(jnp.ones((qlen, qlen + mlen), jnp.float32), k=mlen + 1)
+    if cfg.same_length:
+        mask_lo = jnp.tril(jnp.ones((qlen, qlen), jnp.float32), k=-1)
+        mask = mask.at[:, :qlen].add(mask_lo)
+    return mask
+
+
+def _post_attention(cfg: XLNetConfig, h, attn_vec, o_w, ln_scale, ln_bias):
+    attn_out = jnp.einsum("ibnd,hnd->ibh", attn_vec, o_w)
+    return layer_norm(attn_out + h, ln_scale, ln_bias, cfg.layer_norm_eps)
+
+
+def _ff(cfg: XLNetConfig, x, lp):
+    act = _activation(cfg)
+    out = act(jnp.einsum("ibh,hf->ibf", x, lp["ff1_w"]) + lp["ff1_b"])
+    out = jnp.einsum("ibf,fh->ibh", out, lp["ff2_w"]) + lp["ff2_b"]
+    return layer_norm(out + x, lp["ff_ln_scale"], lp["ff_ln_bias"],
+                      cfg.layer_norm_eps)
+
+
+def xlnet_forward(
+    params: Dict,
+    cfg: XLNetConfig,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    token_type_ids: Optional[jax.Array] = None,
+    input_mask: Optional[jax.Array] = None,
+    perm_mask: Optional[jax.Array] = None,
+    target_mapping: Optional[jax.Array] = None,
+    mems: Optional[jax.Array] = None,
+    use_mems: bool = False,
+) -> Dict:
+    """HF-XLNetModel-compatible forward (eval mode, batch-first API).
+
+    input_ids (B, L); attention_mask (B, L) 1 = attend (HF/BERT convention)
+    XOR input_mask (B, L) 1 = masked (original XLNet convention);
+    perm_mask (B, L, L) 1 = i may NOT attend to j; target_mapping (B, P, L)
+    one-hot rows selecting predict positions (activates the query stream);
+    mems (n_layers, mlen, B, d_model) stacked recurrence cache.
+
+    Returns {'last_hidden_state': (B, L|P, D), 'mems': stacked new mems or
+    None} — mems are cached pre-layer hidden states exactly like HF
+    ``cache_mem`` (reference-model parity validated in tests/test_xlnet.py).
+    """
+    if attention_mask is not None and input_mask is not None:
+        raise ValueError("use only one of input_mask and attention_mask")
+
+    # batch-first -> seq-first (XLNet native layout)
+    input_ids = input_ids.T
+    qlen, bsz = input_ids.shape
+    token_type_ids = token_type_ids.T if token_type_ids is not None else None
+    if attention_mask is not None:
+        input_mask = 1.0 - attention_mask.T.astype(jnp.float32)
+    elif input_mask is not None:
+        input_mask = input_mask.T.astype(jnp.float32)
+    perm_mask = (jnp.transpose(perm_mask, (1, 2, 0)).astype(jnp.float32)
+                 if perm_mask is not None else None)
+    target_mapping = (jnp.transpose(target_mapping, (1, 2, 0))
+                      .astype(jnp.float32)
+                      if target_mapping is not None else None)
+
+    mlen = mems.shape[1] if mems is not None else 0
+    klen = mlen + qlen
+
+    # ---- attention masks (1 = masked, XLNet convention) ----
+    if cfg.attn_type == "uni":
+        attn_mask = _create_causal_mask(cfg, qlen, mlen)[:, :, None, None]
+    elif cfg.attn_type == "bi":
+        attn_mask = None
+    else:
+        raise ValueError(f"unsupported attn_type {cfg.attn_type!r}")
+
+    if input_mask is not None and perm_mask is not None:
+        data_mask = input_mask[None] + perm_mask
+    elif input_mask is not None:
+        data_mask = input_mask[None]
+    elif perm_mask is not None:
+        data_mask = perm_mask
+    else:
+        data_mask = None
+
+    if data_mask is not None:
+        if mlen > 0:  # all mems can be attended to
+            mems_mask = jnp.zeros((data_mask.shape[0], mlen, bsz),
+                                  data_mask.dtype)
+            data_mask = jnp.concatenate([mems_mask, data_mask], axis=1)
+        add = data_mask[:, :, :, None]
+        attn_mask = add if attn_mask is None else attn_mask + add
+
+    if attn_mask is not None:
+        attn_mask = (attn_mask > 0).astype(jnp.float32)
+        # the h (content) stream may attend to its own position; the g
+        # (query) stream may not — HF's non_tgt_mask vs attn_mask split
+        non_tgt = -jnp.eye(qlen, dtype=jnp.float32)
+        if mlen > 0:
+            non_tgt = jnp.concatenate(
+                [jnp.zeros((qlen, mlen), jnp.float32), non_tgt], axis=-1)
+        non_tgt_mask = ((attn_mask + non_tgt[:, :, None, None]) > 0
+                        ).astype(jnp.float32)
+    else:
+        non_tgt_mask = None
+
+    # ---- embeddings / streams ----
+    output_h = params["word_embedding"][input_ids].astype(cfg.dtype)
+    output_g = None
+    if target_mapping is not None:
+        output_g = jnp.broadcast_to(
+            params["mask_emb"],
+            (target_mapping.shape[0], bsz, cfg.d_model)).astype(cfg.dtype)
+
+    # ---- segment matrix ----
+    if token_type_ids is not None:
+        if mlen > 0:  # mem rows count as segment 0... but HF compares
+            # against padded ids, making mem rows "different segment" only
+            # when the query's id differs from 0
+            cat_ids = jnp.concatenate(
+                [jnp.zeros((mlen, bsz), token_type_ids.dtype),
+                 token_type_ids], axis=0)
+        else:
+            cat_ids = token_type_ids
+        seg_mat = (token_type_ids[:, None] != cat_ids[None, :]).astype(
+            jnp.int32)
+        seg_mat = jax.nn.one_hot(seg_mat, 2, dtype=jnp.float32)
+    else:
+        seg_mat = None
+
+    pos_emb = _relative_positional_encoding(cfg, qlen, klen, bsz).astype(
+        cfg.dtype)
+
+    scale = 1.0 / (cfg.d_head ** 0.5)
+
+    if mems is None:
+        mems_stack = jnp.zeros((cfg.n_layers, 0, bsz, cfg.d_model), cfg.dtype)
+    else:
+        mems_stack = mems.astype(cfg.dtype)
+
+    def cache_mem(curr_out, prev_mem):
+        # HF XLNetModel.cache_mem: optionally truncate to reuse_len, then
+        # keep the last mem_len rows of [prev_mem; curr_out]
+        if cfg.reuse_len is not None and cfg.reuse_len > 0:
+            curr_out = curr_out[: cfg.reuse_len]
+        cat = jnp.concatenate([prev_mem, curr_out], axis=0)
+        if cfg.mem_len is not None and cfg.mem_len > 0:
+            cat = cat[-cfg.mem_len:]
+        return jax.lax.stop_gradient(cat)
+
+    def body(carry, xs):
+        h, g = carry
+        lp, mem = xs
+        new_mem = cache_mem(h, mem) if use_mems else jnp.zeros(
+            (0, bsz, cfg.d_model), cfg.dtype)
+
+        cat = jnp.concatenate([mem, h], axis=0) if mlen > 0 else h
+        k_head_h = jnp.einsum("ibh,hnd->ibnd", cat, lp["k"])
+        v_head_h = jnp.einsum("ibh,hnd->ibnd", cat, lp["v"])
+        k_head_r = jnp.einsum("ibh,hnd->ibnd", pos_emb, lp["r"])
+
+        def core(q_head, mask):
+            return xlnet_rel_attn_core_n(
+                q_head, k_head_h, v_head_h, k_head_r,
+                r_w_bias=lp["r_w_bias"], r_r_bias=lp["r_r_bias"],
+                r_s_bias=lp["r_s_bias"], seg_embed=lp["seg_embed"],
+                seg_mat=seg_mat, attn_mask=mask, scale=scale,
+                softmax_n_param=cfg.softmax_n)
+
+        q_head_h = jnp.einsum("ibh,hnd->ibnd", h, lp["q"])
+        attn_vec_h = core(q_head_h, non_tgt_mask)
+        h = _post_attention(cfg, h, attn_vec_h, lp["o"],
+                            lp["attn_ln_scale"], lp["attn_ln_bias"])
+        h = _ff(cfg, h, lp)
+
+        if g is not None:
+            q_head_g = jnp.einsum("ibh,hnd->ibnd", g, lp["q"])
+            if target_mapping is not None:
+                q_head_g = jnp.einsum("mbnd,mlb->lbnd", q_head_g,
+                                      target_mapping)
+                attn_vec_g = core(q_head_g, attn_mask)
+                attn_vec_g = jnp.einsum("lbnd,mlb->mbnd", attn_vec_g,
+                                        target_mapping)
+            else:
+                attn_vec_g = core(q_head_g, attn_mask)
+            g = _post_attention(cfg, g, attn_vec_g, lp["o"],
+                                lp["attn_ln_scale"], lp["attn_ln_bias"])
+            g = _ff(cfg, g, lp)
+        return (h, g), new_mem
+
+    (output_h, output_g), new_mems = jax.lax.scan(
+        body, (output_h, output_g), (params["layers"], mems_stack))
+
+    output = output_g if output_g is not None else output_h
+    return {
+        "last_hidden_state": jnp.transpose(output, (1, 0, 2)),
+        "mems": new_mems if use_mems else None,
+    }

@@ -55,16 +55,19 @@ def decoder_attention_converter(config, params, softmax_n_param: float):
 
 
 def _register_xlnet():
+    from flash_attention_softmax_n_tpu.models.xlnet import XLNetConfig
     from flash_attention_softmax_n_tpu.ops.relative_attention import (
         XLNetAttentionConfig,
     )
 
-    @policy_registry.register(XLNetAttentionConfig, "xlnet")
+    @policy_registry.register(XLNetAttentionConfig, XLNetConfig, "xlnet")
     def xlnet_attention_converter(config, params, softmax_n_param: float):
-        """XLNet relative attention: set softmax-N in rel_attn_core
-        (replaces the reference's method rebinding, _xlnet.py:11-22; the
-        n >= 0 validation the reference does per-module, _xlnet.py:17-18,
-        is enforced centrally in apply_attention_softmax_n)."""
+        """XLNet relative attention: set softmax-N in rel_attn_core — both
+        the standalone attention config and the full model config
+        (models/xlnet.py) route here (replaces the reference's method
+        rebinding, _xlnet.py:11-22; the n >= 0 validation the reference
+        does per-module, _xlnet.py:17-18, is enforced centrally in
+        apply_attention_softmax_n)."""
         return dataclasses.replace(config, softmax_n=softmax_n_param), params
 
 
@@ -147,6 +150,8 @@ def from_pretrained_hf(hf_model, softmax_n_param: float = 0.0,
         bert_params_from_hf,
         llama_config_from_hf,
         llama_params_from_hf,
+        xlnet_config_from_hf,
+        xlnet_params_from_hf,
     )
 
     model_type = getattr(hf_model.config, "model_type", None)
@@ -158,9 +163,13 @@ def from_pretrained_hf(hf_model, softmax_n_param: float = 0.0,
         cfg = llama_config_from_hf(hf_model.config,
                                    dtype=dtype or jnp.bfloat16)
         params = llama_params_from_hf(hf_model, cfg)
+    elif model_type == "xlnet":
+        cfg = xlnet_config_from_hf(hf_model.config,
+                                   dtype=dtype or jnp.float32)
+        params = xlnet_params_from_hf(hf_model, cfg)
     else:
         raise ValueError(
             f"unsupported HF model_type {model_type!r}; supported: bert, "
-            f"roberta, llama, mistral"
+            f"roberta, llama, mistral, xlnet"
         )
     return apply_attention_softmax_n((cfg, params), softmax_n_param)

@@ -8,8 +8,9 @@ dicts into this framework's stacked-layer parameter pytrees, after which
 the whole pipeline is pure data transformation, jit/pjit-friendly, and
 idempotent (SURVEY.md §5 checkpoint-rewrite design).
 
-Supported families: BERT/RoBERTa encoders and Llama-style decoders. Torch is
-used only to read tensors (CPU); nothing torch crosses into the compute path.
+Supported families: BERT/RoBERTa encoders, Llama-style decoders, and XLNet.
+Torch is used only to read tensors (CPU); nothing torch crosses into the
+compute path.
 """
 
 from __future__ import annotations
@@ -21,12 +22,15 @@ import numpy as np
 
 from flash_attention_softmax_n_tpu.models.bert import BertConfig
 from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig
+from flash_attention_softmax_n_tpu.models.xlnet import XLNetConfig
 
 __all__ = [
     "bert_config_from_hf",
     "bert_params_from_hf",
     "llama_config_from_hf",
     "llama_params_from_hf",
+    "xlnet_config_from_hf",
+    "xlnet_params_from_hf",
 ]
 
 
@@ -183,4 +187,79 @@ def llama_params_from_hf(model_or_sd, cfg: DecoderConfig) -> Dict:
         },
         "final_norm": jnp.asarray(g("norm.weight"), dt),
         "lm_head": lm_head,
+    }
+
+
+# ----------------------------------------------------------------------------
+# XLNet
+# ----------------------------------------------------------------------------
+
+
+def xlnet_config_from_hf(hf_config, softmax_n: float = 0.0,
+                         dtype=jnp.float32) -> XLNetConfig:
+    return XLNetConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.d_model,
+        n_layers=hf_config.n_layer,
+        n_heads=hf_config.n_head,
+        d_head=hf_config.d_head,
+        d_inner=hf_config.d_inner,
+        ff_activation=hf_config.ff_activation,
+        attn_type=hf_config.attn_type,
+        bi_data=hf_config.bi_data,
+        clamp_len=hf_config.clamp_len,
+        same_length=hf_config.same_length,
+        mem_len=hf_config.mem_len,
+        reuse_len=hf_config.reuse_len,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        softmax_n=softmax_n,
+        dtype=dtype,
+    )
+
+
+def xlnet_params_from_hf(model_or_sd, cfg: XLNetConfig) -> Dict:
+    """HF XLNetModel/XLNetLMHeadModel state dict -> stacked-layer pytree.
+
+    XLNet's projection parameters are already (d_model, n_head, d_head)
+    tensors (not torch Linear), so only the FF Linears need transposing;
+    per-layer tensors stack on axis 0 for the scanned block body
+    (models/xlnet.py). Replaces the reference's live-module rebinding
+    (reference surgery/surgery_functions/_xlnet.py:25-75) with the
+    checkpoint-rewrite surgery design.
+    """
+    sd = _state_dict(model_or_sd)
+    sd = _strip_prefix(sd, "transformer.")
+    g = lambda name: _to_numpy(sd[name])
+    dt = cfg.dtype
+
+    def stack(fmt: str, transpose: bool = False):
+        arrs = []
+        for i in range(cfg.n_layers):
+            a = g(fmt.format(i=i))
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs), dt)
+
+    p = "layer.{i}."
+    return {
+        "word_embedding": jnp.asarray(g("word_embedding.weight"), dt),
+        "mask_emb": jnp.asarray(g("mask_emb"), dt),
+        "layers": {
+            "q": stack(p + "rel_attn.q"),
+            "k": stack(p + "rel_attn.k"),
+            "v": stack(p + "rel_attn.v"),
+            "o": stack(p + "rel_attn.o"),
+            "r": stack(p + "rel_attn.r"),
+            "r_w_bias": stack(p + "rel_attn.r_w_bias"),
+            "r_r_bias": stack(p + "rel_attn.r_r_bias"),
+            "r_s_bias": stack(p + "rel_attn.r_s_bias"),
+            "seg_embed": stack(p + "rel_attn.seg_embed"),
+            "attn_ln_scale": stack(p + "rel_attn.layer_norm.weight"),
+            "attn_ln_bias": stack(p + "rel_attn.layer_norm.bias"),
+            "ff1_w": stack(p + "ff.layer_1.weight", transpose=True),
+            "ff1_b": stack(p + "ff.layer_1.bias"),
+            "ff2_w": stack(p + "ff.layer_2.weight", transpose=True),
+            "ff2_b": stack(p + "ff.layer_2.bias"),
+            "ff_ln_scale": stack(p + "ff.layer_norm.weight"),
+            "ff_ln_bias": stack(p + "ff.layer_norm.bias"),
+        },
     }

@@ -105,6 +105,129 @@ class TestParityWithHF:
             _ours(hf_attn, q, k, v, kr, seg_mat, attn_mask, -1.0)
 
 
+VOCAB, DM, NL = 97, NH * DH, 2
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(7)
+    cfg = transformers.XLNetConfig(
+        vocab_size=VOCAB, d_model=DM, n_layer=NL, n_head=NH, d_inner=64,
+        dropout=0.0, mem_len=8, clamp_len=-1)
+    model = transformers.XLNetModel(cfg)
+    for p in model.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def ours(hf_model):
+    from flash_attention_softmax_n_tpu.surgery.convert import (
+        xlnet_config_from_hf,
+        xlnet_params_from_hf,
+    )
+
+    cfg = xlnet_config_from_hf(hf_model.config)
+    params = xlnet_params_from_hf(hf_model, cfg)
+    return cfg, params
+
+
+class TestXLNetModelParity:
+    """Whole-model parity vs transformers.XLNetModel — the reference's test
+    invariant is model-level (tests/cpu/surgery/test_xlnet.py:14-48: n=0 is a
+    no-op on a live HF model, n=1 changes outputs); ours additionally checks
+    the converted checkpoint reproduces HF numerics feature by feature."""
+
+    B, L = 2, 10
+
+    def _ids(self, seed=11):
+        g = torch.Generator().manual_seed(seed)
+        return torch.randint(0, VOCAB, (self.B, self.L), generator=g)
+
+    def _run_ours(self, ours, ids, **kw):
+        from flash_attention_softmax_n_tpu.models.xlnet import xlnet_forward
+
+        cfg, params = ours
+        jkw = {k: jnp.asarray(v.numpy()) if hasattr(v, "numpy") else v
+               for k, v in kw.items()}
+        return xlnet_forward(params, cfg, jnp.asarray(ids.numpy()), **jkw)
+
+    def test_plain_forward_matches_hf(self, hf_model, ours):
+        ids = self._ids()
+        with torch.no_grad():
+            exp = hf_model(ids, use_mems=False).last_hidden_state.numpy()
+        out = self._run_ours(ours, ids)["last_hidden_state"]
+        np.testing.assert_allclose(out, exp, atol=1e-4)
+
+    def test_attention_and_token_type_masks(self, hf_model, ours):
+        ids = self._ids(12)
+        g = torch.Generator().manual_seed(13)
+        attention_mask = (torch.rand(self.B, self.L, generator=g) < 0.8).float()
+        attention_mask[:, 0] = 1.0
+        tt = torch.randint(0, 2, (self.B, self.L), generator=g)
+        with torch.no_grad():
+            exp = hf_model(ids, attention_mask=attention_mask,
+                           token_type_ids=tt,
+                           use_mems=False).last_hidden_state.numpy()
+        out = self._run_ours(ours, ids, attention_mask=attention_mask,
+                             token_type_ids=tt)["last_hidden_state"]
+        np.testing.assert_allclose(out, exp, atol=1e-4)
+
+    def test_two_stream_target_mapping(self, hf_model, ours):
+        # permutation-LM query stream: perm_mask + target_mapping activate
+        # the g stream driven by mask_emb
+        ids = self._ids(14)
+        P = 3
+        perm_mask = torch.zeros(self.B, self.L, self.L)
+        perm_mask[:, :, -P:] = 1.0  # nobody may see the last P tokens
+        target_mapping = torch.zeros(self.B, P, self.L)
+        for j in range(P):
+            target_mapping[:, j, self.L - P + j] = 1.0
+        with torch.no_grad():
+            exp = hf_model(ids, perm_mask=perm_mask,
+                           target_mapping=target_mapping,
+                           use_mems=False).last_hidden_state.numpy()
+        out = self._run_ours(ours, ids, perm_mask=perm_mask,
+                             target_mapping=target_mapping)[
+                                 "last_hidden_state"]
+        assert out.shape == (self.B, P, DM)
+        np.testing.assert_allclose(out, exp, atol=1e-4)
+
+    def test_mems_recurrence_matches_hf(self, hf_model, ours):
+        # Transformer-XL recurrence: segment 2 attends over segment 1's mems
+        ids1, ids2 = self._ids(15), self._ids(16)
+        with torch.no_grad():
+            r1 = hf_model(ids1, use_mems=True)
+            r2 = hf_model(ids2, mems=r1.mems, use_mems=True)
+        o1 = self._run_ours(ours, ids1, use_mems=True)
+        assert o1["mems"].shape[0] == NL
+        np.testing.assert_allclose(
+            o1["mems"][0], r1.mems[0].numpy(), atol=1e-4)
+        o2 = self._run_ours(
+            ours, ids2, mems=o1["mems"], use_mems=True)
+        np.testing.assert_allclose(
+            o2["last_hidden_state"], r2.last_hidden_state.numpy(), atol=1e-4)
+
+    def test_from_pretrained_hf_end_to_end(self, hf_model):
+        # the reference invariant: n=0 no-op vs HF, n=1 changes outputs
+        from flash_attention_softmax_n_tpu.models.xlnet import xlnet_forward
+        from flash_attention_softmax_n_tpu.surgery import from_pretrained_hf
+
+        ids = self._ids(17)
+        with torch.no_grad():
+            exp = hf_model(ids, use_mems=False).last_hidden_state.numpy()
+        cfg0, params = from_pretrained_hf(hf_model, softmax_n_param=0.0)
+        out0 = xlnet_forward(params, cfg0, jnp.asarray(ids.numpy()))
+        np.testing.assert_allclose(out0["last_hidden_state"], exp, atol=1e-4)
+
+        cfg1, params1 = from_pretrained_hf(hf_model, softmax_n_param=1.0)
+        assert cfg1.softmax_n == 1.0
+        out1 = xlnet_forward(params1, cfg1, jnp.asarray(ids.numpy()))
+        assert not bool(jnp.allclose(out0["last_hidden_state"],
+                                     out1["last_hidden_state"], atol=1e-5))
+
+
 class TestXLNetSurgery:
     def test_converter_registered(self):
         cfg = XLNetAttentionConfig()
