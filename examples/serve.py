@@ -56,9 +56,9 @@ def main():
 
     rng = jax.random.PRNGKey(1)
     for i in range(args.batch * 2):  # oversubscribe: exercises re-admission
-        rng, sub = jax.random.split(rng)
-        n = int(jax.random.randint(sub, (), 4, 48))
-        prompt = jax.random.randint(sub, (n,), 0, cfg.vocab_size).tolist()
+        rng, k1, k2 = jax.random.split(rng, 3)
+        n = int(jax.random.randint(k1, (), 4, 48))
+        prompt = jax.random.randint(k2, (n,), 0, cfg.vocab_size).tolist()
         eng.submit(prompt, max_new_tokens=32)
 
     t0 = time.time()

@@ -678,6 +678,11 @@ class InferenceEngine:
         chunk when any active request samples with temperature > 0 (the
         fused loop takes one shared temperature) or when a slot is too
         close to ``max_len`` for a full chunk.
+
+        ``max_steps`` bounds total decode-step *work*: a fused chunk counts
+        as its full ``loop_steps`` even if slots finish mid-chunk, and
+        admission-only iterations count as one step — so the loop always
+        terminates after at most ``max_steps`` accounting units.
         """
         done = []
         steps_left = max_steps
@@ -687,6 +692,7 @@ class InferenceEngine:
                 if not any(s is not None for s in self.slots):
                     if not self.queue:
                         break
+                    steps_left -= 1  # admission-only iteration still counts
                     continue
                 if self._can_loop(loop_steps):
                     done.extend(self._loop_chunk(loop_steps))
@@ -777,9 +783,9 @@ class InferenceEngine:
         """Admit queued requests into free slots, prefilling same-bucket
         groups in one batched forward (admission is weight-bound; batching
         amortizes the weight stream across requests). Groups are always
-        padded to the full group size of 8 by repeating the last request —
-        duplicate slot writes are idempotent — so each prompt bucket
-        compiles exactly ONE prefill shape."""
+        padded to the full group size — min(8, max_batch) — by repeating
+        the last request; duplicate slot writes are idempotent, so each
+        prompt bucket compiles exactly ONE prefill shape."""
         finished = []
         free = [i for i in range(self.max_batch) if self.slots[i] is None]
         if not (free and self.queue):
@@ -790,16 +796,20 @@ class InferenceEngine:
         by_bucket: Dict[int, deque] = {}
         order: List[int] = []
         for req in self.queue:
-            bkt = _bucket(len(req.prompt))
+            # clamp the pad bucket so a near-max_len prompt can't round up
+            # past the cache extent (max_len=100, prompt=90 -> bucket 128
+            # would fail the cache dynamic_update_slice at trace time)
+            bkt = min(_bucket(len(req.prompt)), self.max_len)
             if bkt not in by_bucket:
                 by_bucket[bkt] = deque()
                 order.append(bkt)
             by_bucket[bkt].append(req)
         admitted: set = set()
+        nb = min(8, self.max_batch)
         while free and any(by_bucket.values()):
             bucket = next(b for b in order if by_bucket[b])
             group: List[Tuple[int, Request]] = []
-            while free and by_bucket[bucket] and len(group) < 8:
+            while free and by_bucket[bucket] and len(group) < nb:
                 req = by_bucket[bucket].popleft()
                 admitted.add(id(req))
                 group.append((free.pop(0), req))
@@ -808,7 +818,6 @@ class InferenceEngine:
             # are idempotent, and one compiled shape per prompt bucket
             # beats per-(group-size, bucket) executables (churn serving
             # kept hitting cold shapes)
-            nb = 8
             padded_group = group + [group[-1]] * (nb - len(group))
             tokens = jnp.asarray(
                 [r.prompt + [self.pad_token] * (bucket - len(r.prompt))

@@ -49,8 +49,27 @@ def _check_mesh(mesh: Mesh) -> None:
 
 def shard_engine_state(params: Dict, cache: Dict, mesh: Mesh
                        ) -> Tuple[Dict, Dict]:
-    """Place params (TP over 'model') and KV cache (DP x TP) on the mesh."""
+    """Place params (TP over 'model') and KV cache (DP x TP) on the mesh.
+
+    max_batch (cache slot dim) must divide by the 'data' axis size and
+    n_kv_heads by the 'model' axis size — checked here so violations fail
+    with an actionable message instead of an opaque sharding error.
+    """
     _check_mesh(mesh)
+    dp = mesh.shape["data"]
+    tp = mesh.shape["model"]
+    kv = cache.get("k")
+    if kv is not None:
+        shape = kv.values.shape if hasattr(kv, "values") else kv.shape
+        max_batch, n_kv_heads = shape[1], shape[2]
+        if max_batch % dp != 0:
+            raise ValueError(
+                f"max_batch={max_batch} must be divisible by the 'data' "
+                f"axis size {dp} (slots are data-sharded)")
+        if n_kv_heads % tp != 0:
+            raise ValueError(
+                f"n_kv_heads={n_kv_heads} must be divisible by the 'model' "
+                f"axis size {tp} (KV heads are tensor-sharded)")
     if "wqkv" in params.get("layers", {}):
         raise ValueError(
             "fused projections (wqkv/w_gu) cannot be tensor-sharded: the "
