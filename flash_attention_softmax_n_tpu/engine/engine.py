@@ -42,6 +42,7 @@ from flash_attention_softmax_n_tpu.models.layers import (
     rope_frequencies,
 )
 from flash_attention_softmax_n_tpu.ops.flash_attention import flash_attention_n
+from flash_attention_softmax_n_tpu.ops.sampling import sample_tokens
 from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
 __all__ = ["Request", "InferenceEngine"]
@@ -55,6 +56,8 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0  # 0 = greedy
     eos_token: Optional[int] = None
+    top_k: int = 0       # <= 0 = no k-truncation
+    top_p: float = 1.0   # >= 1 = no nucleus truncation
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -387,6 +390,9 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                        eos_token: Optional[int] = None,
                        temperature: float = 0.0,
                        rng: Optional[jax.Array] = None,
+                       temps: Optional[jax.Array] = None,
+                       top_k: Optional[jax.Array] = None,
+                       top_p: Optional[jax.Array] = None,
                        mesh=None,
                        attn_len: Optional[int] = None,
                        ) -> Tuple[jax.Array, Dict, jax.Array]:
@@ -425,7 +431,13 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     ``attn_len >= max(active lengths)`` are masked for every slot anyway.
     The tail flush still writes through the full cache.
     """
-    if temperature > 0.0 and rng is None:
+    # ``temps`` (B,) enables per-slot sampling entirely on-device: slots
+    # with temp 0 take argmax, temp > 0 sample, and (B,) ``top_k``/``top_p``
+    # add truncation — all DATA, so mixed batches share one executable and
+    # never leave the fused loop. ``temperature`` (scalar, whole-batch)
+    # remains for the sharded-decode API.
+    sampling = temperature > 0.0 or temps is not None
+    if sampling and rng is None:
         raise ValueError("temperature sampling requires rng")
 
     quantized = isinstance(cache["k"], QTensor)
@@ -452,8 +464,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     # mesh serving shards lm_head over N: the kernel's local argmax indices
     # would need a cross-shard merge — keep the XLA argmax there
-    greedy = temperature == 0.0 and mesh is None and _greedy_fusable(
-        params, cfg)
+    greedy = not sampling and mesh is None and _greedy_fusable(params, cfg)
 
     def make_step():
         def step(carry, xs):
@@ -469,6 +480,8 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                                              mesh=mesh, greedy=greedy)
             if greedy:
                 nxt = out  # argmax fused into the lm_head kernel epilogue
+            elif temps is not None:
+                nxt = sample_tokens(out, key, temps, top_k, top_p)
             elif temperature > 0.0:
                 nxt = jax.random.categorical(
                     key, out / temperature, axis=-1).astype(jnp.int32)
@@ -480,7 +493,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
             return (nxt, cache, active, tail), nxt
         return step
 
-    keys = (jax.random.split(rng, num_steps) if temperature > 0.0
+    keys = (jax.random.split(rng, num_steps) if sampling
             else jnp.zeros((num_steps, 2), jnp.uint32))
     carry = (tokens, cache, active, tail0 if use_tail else None)
     # NOTE (measured, v5e b=512): sub-chunking this scan so each chunk's
@@ -626,11 +639,12 @@ class InferenceEngine:
 
     def submit(self, prompt: List[int], max_new_tokens: int = 64,
                temperature: float = 0.0,
-               eos_token: Optional[int] = None) -> int:
+               eos_token: Optional[int] = None,
+               top_k: int = 0, top_p: float = 1.0) -> int:
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
         req = Request(next(self._id_gen), list(prompt), max_new_tokens,
-                      temperature, eos_token)
+                      temperature, eos_token, top_k=top_k, top_p=top_p)
         self.queue.append(req)
         return req.request_id
 
@@ -649,8 +663,7 @@ class InferenceEngine:
         logits, self.cache = self._decode(
             params=self.params, tokens=self._next_token, cache=self.cache,
             active=active)
-        temps = [r.temperature if r is not None else 0.0 for r in self.slots]
-        next_tokens = self._sample(logits, temps)
+        next_tokens = self._sample(logits, self.slots)
 
         next_host = jax.device_get(next_tokens)
         for i in active_slots:
@@ -674,10 +687,11 @@ class InferenceEngine:
 
         ``loop_steps``: decode in fused on-device chunks of that many steps
         between scheduling points (the serving fast path — removes the
-        per-token host round-trip). Falls back to per-step decoding for a
-        chunk when any active request samples with temperature > 0 (the
-        fused loop takes one shared temperature) or when a slot is too
-        close to ``max_len`` for a full chunk.
+        per-token host round-trip). Mixed per-slot sampling settings
+        (temperature / top-k / top-p) stay on the fused loop — they are
+        (B,) data arrays, not compile-time structure. Falls back to
+        per-step decoding only when a slot is too close to ``max_len``
+        for a full chunk.
 
         ``max_steps`` bounds total decode-step *work*: a fused chunk counts
         as its full ``loop_steps`` even if slots finish mid-chunk, and
@@ -707,8 +721,6 @@ class InferenceEngine:
     # -- fused-loop serving internals ----------------------------------------
 
     def _can_loop(self, loop_steps: int) -> bool:
-        if any(r is not None and r.temperature > 0 for r in self.slots):
-            return False
         w = -(-loop_steps // 8) * 8
         lengths = jax.device_get(self.cache["lengths"])
         self._lengths_host = lengths  # reused by _loop_chunk's attn window
@@ -740,9 +752,26 @@ class InferenceEngine:
                         attn_len=attn_len),
                 donate_argnames=("cache",))
         active = jnp.asarray([r is not None for r in self.slots], bool)
+        # per-slot sampling settings are DATA (B,) arrays, so mixed batches
+        # share the executable; all-greedy passes None to keep the fused
+        # argmax lm_head (a distinct pytree structure -> jit specializes)
+        sample_kw = {}
+        temps = [r.temperature if r is not None else 0.0 for r in self.slots]
+        if any(t > 0 for t in temps):
+            self._rng, sub = jax.random.split(self._rng)
+            sample_kw["temps"] = jnp.asarray(temps, jnp.float32)
+            sample_kw["rng"] = sub
+            if any(r is not None and r.temperature > 0
+                   and (r.top_k > 0 or r.top_p < 1.0) for r in self.slots):
+                sample_kw["top_k"] = jnp.asarray(
+                    [r.top_k if r is not None else 0 for r in self.slots],
+                    jnp.int32)
+                sample_kw["top_p"] = jnp.asarray(
+                    [r.top_p if r is not None else 1.0 for r in self.slots],
+                    jnp.float32)
         toks, self.cache, _ = self._loops[key](
             params=self.params, tokens=self._next_token, cache=self.cache,
-            active=active)
+            active=active, **sample_kw)
         toks_host = jax.device_get(toks)
 
         finished = []
@@ -828,8 +857,8 @@ class InferenceEngine:
             logits, self.cache = self._prefill(
                 params=self.params, tokens=tokens, true_lens=true_lens,
                 slots=slots, cache=self.cache)
-            temps = [r.temperature for _, r in group]
-            toks = self._sample(logits[:len(group)], temps)
+            toks = self._sample(logits[:len(group)],
+                                [r for _, r in group])
             toks_host = jax.device_get(toks)
             upd_idx, upd_val = [], []
             for (i, req), tok in zip(group, toks_host):
@@ -856,11 +885,25 @@ class InferenceEngine:
                                if id(r) not in admitted)
         return finished
 
-    def _sample(self, logits: jax.Array, temps: List[float]) -> jax.Array:
-        """Greedy at temperature 0, else per-slot temperature sampling."""
-        if any(t > 0 for t in temps):
-            self._rng, sub = jax.random.split(self._rng)
-            t = jnp.asarray([max(t, 1e-6) for t in temps])[:logits.shape[0]]
-            return jax.random.categorical(
-                sub, logits / t[:, None], axis=-1).astype(jnp.int32)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    def _sample(self, logits: jax.Array,
+                reqs: List[Optional[Request]]) -> jax.Array:
+        """Greedy at temperature 0, else per-row temperature/top-k/top-p.
+
+        ``reqs`` holds one Request (or None = greedy) per logits row.
+        The sort-bearing filtered path only compiles when some sampling
+        row actually truncates (ops/sampling.py rationale).
+        """
+        rows = reqs[:logits.shape[0]]
+        temps = [r.temperature if r is not None else 0.0 for r in rows]
+        if not any(t > 0 for t in temps):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        t = jnp.asarray(temps, jnp.float32)
+        if any(r is not None and r.temperature > 0
+               and (r.top_k > 0 or r.top_p < 1.0) for r in rows):
+            ks = jnp.asarray([r.top_k if r is not None else 0
+                              for r in rows], jnp.int32)
+            ps = jnp.asarray([r.top_p if r is not None else 1.0
+                              for r in rows], jnp.float32)
+            return sample_tokens(logits, sub, t, ks, ps)
+        return sample_tokens(logits, sub, t)

@@ -311,9 +311,44 @@ class TestLoopServing:
         for rid in ref:
             assert out[rid] == ref[rid], f"request {rid} diverged"
 
-    def test_mixed_temperature_falls_back(self, params):
+    def test_mixed_temperature_stays_fused(self, params, monkeypatch):
+        # mixed greedy/sampling batches are (B,) data, not structure: the
+        # fused loop must handle them without falling back to per-step
+        # decode — forbid step() outright
         eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        monkeypatch.setattr(
+            eng, "step",
+            lambda *a, **k: pytest.fail("fell back to per-step decode"))
         eng.submit([3, 1, 4], max_new_tokens=6)
         eng.submit([9, 2], max_new_tokens=6, temperature=0.8)
         done = eng.run_until_done(loop_steps=8)
         assert len(done) == 2 and all(len(r.output) == 6 for r in done)
+        # the greedy row must be token-exact vs the reference
+        greedy = next(r for r in done if r.temperature == 0.0)
+        assert greedy.output == reference_tokens(params, [3, 1, 4], 6)
+
+    def test_top_k_one_sampling_is_greedy_on_loop(self, params, monkeypatch):
+        # top_k=1 at any temperature is the greedy fixed point — a
+        # deterministic end-to-end check of the filtered path in the
+        # fused loop (and that k/p requests stay fused too)
+        prompt = [3, 14, 15]
+        expected = reference_tokens(params, prompt, 8)
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        monkeypatch.setattr(
+            eng, "step",
+            lambda *a, **k: pytest.fail("fell back to per-step decode"))
+        eng.submit(prompt, max_new_tokens=8, temperature=2.0, top_k=1)
+        eng.submit(prompt, max_new_tokens=8, temperature=1.5, top_p=1e-6)
+        done = eng.run_until_done(loop_steps=8)
+        assert all(r.output == expected for r in done)
+
+    def test_nucleus_sampling_varies_on_loop(self, params):
+        # two identical nucleus requests should diverge (high temperature,
+        # wide p) while staying inside the truncated support
+        prompt = [3, 14, 15]
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        eng.submit(prompt, max_new_tokens=16, temperature=5.0, top_p=0.95)
+        eng.submit(prompt, max_new_tokens=16, temperature=5.0, top_p=0.95)
+        done = eng.run_until_done(loop_steps=8)
+        assert len(done) == 2
+        assert done[0].output != done[1].output  # w.h.p.
