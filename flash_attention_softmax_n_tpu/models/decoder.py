@@ -239,11 +239,19 @@ def decoder_forward(
     tokens: jax.Array,
     *,
     collect_taps: bool = False,
+    sp_mesh=None,
+    sp_axis: str = "sp",
 ) -> Any:
     """Full-sequence causal forward: tokens (B, L) -> logits (B, L, V).
 
     With ``collect_taps=True`` returns (logits, taps) where taps maps
     'layers.{i}.attention.output' -> (B, L, D) for the analysis collector.
+
+    ``sp_mesh``/``sp_axis``: sequence-parallel training — attention runs as
+    ring attention over the ``sp_axis`` mesh axis (parallel/ring_attention),
+    with K/V blocks rotating over ICI while everything outside attention
+    stays ordinary GSPMD (sequence-sharded activations partition the
+    elementwise/matmul ops for free; only attention mixes positions).
     """
     b, l = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
@@ -255,6 +263,16 @@ def decoder_forward(
         k = apply_rope(k, cos, sin, positions)
         k = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
         v = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
+        if sp_mesh is not None:
+            from flash_attention_softmax_n_tpu.parallel.ring_attention import (
+                ring_attention_n,
+            )
+            ctx = ring_attention_n(
+                q, k, v, mesh=sp_mesh, axis_name=sp_axis,
+                softmax_n_param=cfg.softmax_n, is_causal=True,
+                implementation=("pallas" if cfg.attn_implementation == "pallas"
+                                else "auto"))
+            return ctx, None
         ctx = flash_attention_n(
             q, k, v,
             softmax_n_param=cfg.softmax_n,

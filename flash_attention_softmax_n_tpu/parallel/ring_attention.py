@@ -46,37 +46,49 @@ def _local_attention_block(q, k, v, scale, mode, implementation):
     mode: 0 = full (block strictly in the past), 1 = diagonal (causal
     within block), 2 = skip (block strictly in the future).
     Returns (o, lse) with lse = log(sum_j exp(s_j)) (n=0 statistics).
-    """
-    if implementation == "pallas":
-        o_full, lse_full = flash_attention_n_fused(
-            q, k, v, softmax_n_param=0.0, scale=scale, is_causal=False,
-            return_residuals=True)
-        o_diag, lse_diag = flash_attention_n_fused(
-            q, k, v, softmax_n_param=0.0, scale=scale, is_causal=True,
-            return_residuals=True)
-    else:
-        s = jnp.einsum("bhle,bhse->bhls", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        lq, lk = q.shape[2], k.shape[2]
-        causal = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
 
-        def softmax0(s):
+    ``mode`` is a traced per-device scalar, so the three cases go through
+    ``lax.switch``: every device runs the same *program* (the ring stays
+    in lockstep — no collectives live inside the branches) but executes
+    only its own branch, so a causal ring does 1 diagonal + past-only full
+    blocks instead of computing full AND diagonal attention at every step
+    (which doubled the ring's FLOPs).
+    """
+
+    def _attend(is_causal):
+        def branch(q, k, v):
+            if implementation == "pallas":
+                o, lse = flash_attention_n_fused(
+                    q, k, v, softmax_n_param=0.0, scale=scale,
+                    is_causal=is_causal, return_residuals=True)
+                return o.astype(q.dtype), lse.astype(jnp.float32)
+            s = jnp.einsum("bhle,bhse->bhls", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            if is_causal:
+                lq, lk = q.shape[2], k.shape[2]
+                causal = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+                s = jnp.where(causal, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             l = jnp.sum(e, axis=-1, keepdims=True)
             o = jnp.einsum("bhls,bhsv->bhlv", (e / l).astype(v.dtype), v)
-            return o, (m + jnp.log(l))[..., 0]
+            # all switch branches must agree on output avals exactly
+            return o.astype(q.dtype), (m + jnp.log(l))[..., 0]
+        return branch
 
-        o_full, lse_full = softmax0(s)
-        o_diag, lse_diag = softmax0(jnp.where(causal, s, NEG_INF))
+    def _skip(q, k, v):
+        # constants must still be typed device-varying over the ring axis
+        # so all switch branches agree on vma types
+        o = jnp.zeros(q.shape[:3] + (v.shape[-1],), q.dtype)
+        lse = jnp.full(q.shape[:3], NEG_INF, jnp.float32)
+        vma = getattr(jax.typeof(q), "vma", None)
+        if vma:
+            o = jax.lax.pcast(o, tuple(vma), to="varying")
+            lse = jax.lax.pcast(lse, tuple(vma), to="varying")
+        return o, lse
 
-    # mode select without data-dependent control flow (ring stays in lockstep)
-    is_full = (mode == 0)
-    is_diag = (mode == 1)
-    o = jnp.where(is_full, o_full, jnp.where(is_diag, o_diag, 0.0))
-    lse = jnp.where(is_full, lse_full,
-                    jnp.where(is_diag, lse_diag, NEG_INF))
-    return o, lse
+    return jax.lax.switch(mode, [_attend(False), _attend(True), _skip],
+                          q, k, v)
 
 
 def ring_attention_n(
@@ -161,6 +173,10 @@ def ring_attention_n(
         return out.astype(q.dtype)
 
     spec = P(None, None, axis_name, None)
+    # only the ring axis goes manual; any other mesh axes (data/model in a
+    # combined TP x DP x SP train step) stay under GSPMD control, so batch
+    # and head shardings pass through untouched instead of being gathered
     return shard_map(
         local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        axis_names=frozenset({axis_name}),
     )(q, k, v)

@@ -16,6 +16,8 @@ values' output-channel axis.
 
 from __future__ import annotations
 
+import logging
+
 from typing import Dict, Optional
 
 import jax
@@ -111,7 +113,8 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
 
     Production models pad vocab/hidden to multiples of the TP degree; for
     arbitrary checkpoints we degrade to replication on the offending dim
-    instead of erroring.
+    instead of erroring — LOUDLY, because a silently replicated weight is
+    a perf cliff (full copy per device + no TP speedup on its matmul).
     """
     fitted = []
     for i, axis in enumerate(spec):
@@ -119,7 +122,15 @@ def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
             fitted.append(None if i >= len(shape) else axis)
             continue
         size = mesh.shape[axis] if isinstance(axis, str) else 1
-        fitted.append(axis if shape[i] % size == 0 else None)
+        if shape[i] % size == 0:
+            fitted.append(axis)
+        else:
+            logging.warning(
+                "sharding relaxed to replication: dim %d of shape %s does "
+                "not divide mesh axis %r (size %d) — pad this dim to a "
+                "multiple of %d to restore tensor parallelism",
+                i, tuple(shape), axis, size, size)
+            fitted.append(None)
     return P(*fitted)
 
 

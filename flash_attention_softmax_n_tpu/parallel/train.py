@@ -32,9 +32,15 @@ __all__ = ["causal_lm_loss", "make_train_step", "TrainState"]
 
 
 def causal_lm_loss(params: Dict, cfg: DecoderConfig,
-                   tokens: jax.Array) -> jax.Array:
-    """Next-token cross-entropy over (B, L) tokens (shift-by-one)."""
-    logits = decoder_forward(params, cfg, tokens)  # (B, L, V)
+                   tokens: jax.Array, *, sp_mesh=None,
+                   sp_axis: str = "sp") -> jax.Array:
+    """Next-token cross-entropy over (B, L) tokens (shift-by-one).
+
+    ``sp_mesh``/``sp_axis``: run attention sequence-parallel (ring
+    attention over the mesh axis) — see decoder_forward.
+    """
+    logits = decoder_forward(params, cfg, tokens, sp_mesh=sp_mesh,
+                             sp_axis=sp_axis)  # (B, L, V)
     targets = tokens[:, 1:]
     logits = logits[:, :-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -52,15 +58,31 @@ class TrainState:
 
 def make_train_step(cfg: DecoderConfig, mesh: Mesh,
                     learning_rate: float = 1e-4,
-                    optimizer: Optional[optax.GradientTransformation] = None):
-    """Build (sharded_init, sharded_step) for TP x DP training.
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    sp_axis: Optional[str] = None,
+                    dcn_data_axis: Optional[str] = None):
+    """Build (sharded_init, sharded_step) for TP x DP (x SP) training.
 
     ``sharded_init(params)`` -> (params, opt_state) placed on the mesh.
     ``sharded_step(params, opt_state, tokens)`` -> (params, opt_state, loss),
     jitted with NamedShardings so every weight stays tensor-sharded across
     steps (grads and optimizer moments inherit the param shardings).
+
+    ``sp_axis``: name of a mesh axis to run sequence-parallel — token
+    batches shard (batch='data', sequence=sp_axis) and attention runs as
+    ring attention over that axis (long-context training; SURVEY §2.3).
+    The sequence length must divide by the axis size.
+
+    ``dcn_data_axis``: extra data-parallel mesh axis spanning slices over
+    DCN (mesh.make_hybrid_mesh) — batches shard over
+    (dcn_data_axis, 'data') jointly; params stay replicated across it, so
+    the only DCN traffic is the per-step gradient all-reduce (the >=85%
+    host-scaling layout).
     """
     tx = optimizer or optax.adamw(learning_rate)
+    for ax in (sp_axis, dcn_data_axis):
+        if ax is not None and ax not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {ax!r}: {mesh.axis_names}")
 
     def init(params):
         specs = decoder_param_specs(params)
@@ -69,7 +91,10 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         return params, opt_state
 
     def step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(causal_lm_loss)(params, cfg, tokens)
+        loss, grads = jax.value_and_grad(causal_lm_loss)(
+            params, cfg, tokens,
+            sp_mesh=mesh if sp_axis is not None else None,
+            sp_axis=sp_axis or "sp")
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -77,7 +102,10 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
     def sharded_step(params, opt_state, tokens):
         specs = decoder_param_specs(params)
         p_shardings = param_shardings(params, specs, mesh)
-        token_sharding = NamedSharding(mesh, batch_spec())
+        data_axes = (("data",) if dcn_data_axis is None
+                     else (dcn_data_axis, "data"))
+        token_spec = P(data_axes, sp_axis)  # sp_axis None = seq replicated
+        token_sharding = NamedSharding(mesh, token_spec)
         return jax.jit(
             step,
             in_shardings=(p_shardings, None, token_sharding),

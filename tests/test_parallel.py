@@ -28,6 +28,7 @@ from flash_attention_softmax_n_tpu.parallel import (
     ring_attention_n,
     shard_pytree,
 )
+from flash_attention_softmax_n_tpu.parallel.mesh import make_hybrid_mesh
 
 TINY = DecoderConfig(
     vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4,
@@ -50,6 +51,16 @@ class TestMesh:
     def test_too_many_devices_rejected(self):
         with pytest.raises(ValueError):
             make_mesh({"data": 64, "model": 64})
+
+    def test_hybrid_mesh_axes(self):
+        require_devices(8)
+        mesh = make_hybrid_mesh({"dcn_data": 2}, {"data": 2, "model": 2})
+        assert mesh.axis_names == ("dcn_data", "data", "model")
+        assert mesh.shape == {"dcn_data": 2, "data": 2, "model": 2}
+
+    def test_hybrid_mesh_too_many_devices(self):
+        with pytest.raises(ValueError):
+            make_hybrid_mesh({"dcn_data": 64}, {"model": 64})
 
 
 class TestTensorParallel:
@@ -99,6 +110,34 @@ class TestRingAttention:
         np.testing.assert_allclose(out, expected, atol=2e-4,
                                    err_msg=f"n={n} causal={is_causal}")
 
+    @pytest.mark.parametrize("n", [0.0, 1.0])
+    def test_grads_match_oracle(self, n):
+        # ring attention must train, not just infer: cotangents flow
+        # through the scan/ppermute/switch back to q, k, v (VJP of each
+        # ring step is another ring step in reverse)
+        require_devices(4)
+        mesh = make_mesh({"sp": 4})
+        b, h, l, e = 1, 2, 32, 16
+        ks = jax.random.split(jax.random.PRNGKey(2), 4)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks[:3])
+        ct = jax.random.normal(ks[3], (b, h, l, e))
+
+        def ring_loss(q, k, v):
+            out = ring_attention_n(q, k, v, mesh=mesh, axis_name="sp",
+                                   softmax_n_param=n, is_causal=True,
+                                   implementation="xla")
+            return jnp.sum(out * ct)
+
+        def oracle_loss(q, k, v):
+            return jnp.sum(slow_attention_n(q, k, v, softmax_n_param=n,
+                                            is_causal=True) * ct)
+
+        got = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(q, k, v)
+        want = jax.grad(oracle_loss, argnums=(0, 1, 2))(q, k, v)
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(g, w, atol=2e-4,
+                                       err_msg=f"d{name} n={n}")
+
     def test_plus_n_applied_once(self):
         # analytic check: constant inputs, unmasked — denominator must be
         # n + S (not n*p + S, which a per-shard +n bug would produce)
@@ -143,6 +182,47 @@ class TestTrainStep:
         sharded_params, opt_state = init(params)
         _, _, loss = step(sharded_params, opt_state, tokens)
         np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+
+    def test_sp_train_step_matches_unsharded(self):
+        # TP x DP x SP: sequence sharded over 'sp', attention via ring —
+        # the full combined-axes train step must reproduce the unsharded
+        # loss and still descend
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 2, "sp": 2})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+        ref_loss = float(causal_lm_loss(params, TINY, tokens))
+
+        init, step = make_train_step(TINY, mesh, learning_rate=1e-2,
+                                     sp_axis="sp")
+        sharded_params, opt_state = init(params)
+        p1, o1, loss = step(sharded_params, opt_state, tokens)
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+        _, _, loss2 = step(p1, o1, tokens)
+        assert float(loss2) < float(loss)
+
+    def test_sp_axis_must_exist(self):
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        with pytest.raises(ValueError, match="no axis"):
+            make_train_step(TINY, mesh, sp_axis="sp")
+
+    def test_hybrid_dcn_train_step_matches_unsharded(self):
+        # hybrid ICI x DCN layout: params replicated across 'dcn_data'
+        # (pure DP over the slow links), batch sharded over both data axes
+        require_devices(8)
+        mesh = make_hybrid_mesh({"dcn_data": 2}, {"data": 2, "model": 2})
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+        ref_loss = float(causal_lm_loss(params, TINY, tokens))
+
+        init, step = make_train_step(TINY, mesh, learning_rate=1e-2,
+                                     dcn_data_axis="dcn_data")
+        sharded_params, opt_state = init(params)
+        p1, o1, loss = step(sharded_params, opt_state, tokens)
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+        _, _, loss2 = step(p1, o1, tokens)
+        assert float(loss2) < float(loss)
 
 
 class TestShardedServing:
