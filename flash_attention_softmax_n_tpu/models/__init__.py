@@ -1,6 +1,7 @@
 from flash_attention_softmax_n_tpu.models.bert import (
     BertConfig,
     bert_forward,
+    init_bert_kv_cache,
     init_bert_params,
 )
 from flash_attention_softmax_n_tpu.models.decoder import (
@@ -16,6 +17,7 @@ from flash_attention_softmax_n_tpu.models.decoder import (
 __all__ = [
     "BertConfig",
     "bert_forward",
+    "init_bert_kv_cache",
     "init_bert_params",
     "DecoderConfig",
     "decoder_forward",

@@ -72,6 +72,8 @@ def bert_config_from_hf(hf_config, softmax_n: float = 0.0,
         layer_norm_eps=hf_config.layer_norm_eps,
         softmax_n=softmax_n,
         dtype=dtype,
+        is_decoder=getattr(hf_config, "is_decoder", False),
+        add_cross_attention=getattr(hf_config, "add_cross_attention", False),
     )
 
 
@@ -95,7 +97,7 @@ def bert_params_from_hf(model_or_sd, cfg: BertConfig) -> Dict:
         return jnp.asarray(np.stack(arrs), dt)
 
     prefix = "encoder.layer.{i}."
-    return {
+    params = {
         "embeddings": {
             "word": jnp.asarray(g("embeddings.word_embeddings.weight"), dt),
             "position": jnp.asarray(g("embeddings.position_embeddings.weight"), dt),
@@ -126,6 +128,26 @@ def bert_params_from_hf(model_or_sd, cfg: BertConfig) -> Dict:
             "b": jnp.asarray(g("pooler.dense.bias"), dt),
         },
     }
+    if cfg.add_cross_attention:
+        params["layers"].update({
+            "cross_q_w": stack(prefix + "crossattention.self.query.weight",
+                               transpose=True),
+            "cross_q_b": stack(prefix + "crossattention.self.query.bias"),
+            "cross_k_w": stack(prefix + "crossattention.self.key.weight",
+                               transpose=True),
+            "cross_k_b": stack(prefix + "crossattention.self.key.bias"),
+            "cross_v_w": stack(prefix + "crossattention.self.value.weight",
+                               transpose=True),
+            "cross_v_b": stack(prefix + "crossattention.self.value.bias"),
+            "cross_out_w": stack(prefix + "crossattention.output.dense.weight",
+                                 transpose=True),
+            "cross_out_b": stack(prefix + "crossattention.output.dense.bias"),
+            "cross_ln_scale": stack(
+                prefix + "crossattention.output.LayerNorm.weight"),
+            "cross_ln_bias": stack(
+                prefix + "crossattention.output.LayerNorm.bias"),
+        })
+    return params
 
 
 # ----------------------------------------------------------------------------

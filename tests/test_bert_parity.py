@@ -125,3 +125,119 @@ class TestBertQuantizedInference:
         rel = (float(jnp.max(jnp.abs(quant - dense)))
                / float(jnp.max(jnp.abs(dense))))
         assert rel < 0.05
+
+
+class TestDecoderMode:
+    """Decoder-mode BERT: causal self-attention, cross-attention, KV cache
+    — parity with HF BertModel(is_decoder=True, add_cross_attention=True)
+    incl. past_key_values semantics (reference surgery/_bert.py:39-70)."""
+
+    @pytest.fixture(scope="class")
+    def decoder_hf(self):
+        torch.manual_seed(1)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            is_decoder=True, add_cross_attention=True,
+        )
+        model = transformers.BertModel(hf_cfg)
+        model.eval()
+        return model
+
+    @pytest.fixture(scope="class")
+    def enc_states(self):
+        rng = np.random.RandomState(3)
+        return rng.randn(2, 7, 32).astype(np.float32)
+
+    def test_causal_cross_attention_matches_hf(self, decoder_hf, enc_states):
+        rng = np.random.RandomState(1)
+        ids = rng.randint(0, 128, size=(2, 9)).astype(np.int32)
+        enc_mask = np.ones((2, 7), np.int32)
+        enc_mask[1, 5:] = 0
+        with torch.no_grad():
+            hf_out = decoder_hf(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                encoder_hidden_states=torch.tensor(enc_states),
+                encoder_attention_mask=torch.tensor(enc_mask,
+                                                    dtype=torch.long),
+            )
+        cfg = bert_config_from_hf(decoder_hf.config)
+        assert cfg.is_decoder and cfg.add_cross_attention
+        params = bert_params_from_hf(decoder_hf, cfg)
+        out = bert_forward(params, cfg, jnp.asarray(ids),
+                           encoder_hidden_states=jnp.asarray(enc_states),
+                           encoder_attention_mask=jnp.asarray(enc_mask))
+        np.testing.assert_allclose(
+            out["last_hidden_state"],
+            hf_out.last_hidden_state.numpy(), atol=2e-5)
+
+    def test_kv_cache_matches_hf_past_key_values(self, decoder_hf,
+                                                 enc_states):
+        from flash_attention_softmax_n_tpu.models.bert import (
+            init_bert_kv_cache,
+        )
+        rng = np.random.RandomState(2)
+        prefix = rng.randint(0, 128, size=(2, 6)).astype(np.int32)
+        nxt = rng.randint(0, 128, size=(2, 1)).astype(np.int32)
+
+        with torch.no_grad():
+            hf_pre = decoder_hf(
+                input_ids=torch.tensor(prefix, dtype=torch.long),
+                encoder_hidden_states=torch.tensor(enc_states),
+                use_cache=True)
+            hf_step = decoder_hf(
+                input_ids=torch.tensor(nxt, dtype=torch.long),
+                encoder_hidden_states=torch.tensor(enc_states),
+                past_key_values=hf_pre.past_key_values,
+                use_cache=True)
+
+        cfg = bert_config_from_hf(decoder_hf.config)
+        params = bert_params_from_hf(decoder_hf, cfg)
+        cache = init_bert_kv_cache(cfg, batch=2, max_len=32)
+        pre = bert_forward(params, cfg, jnp.asarray(prefix),
+                           encoder_hidden_states=jnp.asarray(enc_states),
+                           cache=cache)
+        np.testing.assert_allclose(
+            pre["last_hidden_state"], hf_pre.last_hidden_state.numpy(),
+            atol=2e-5)
+        assert int(pre["cache"]["length"]) == 6
+        step = bert_forward(params, cfg, jnp.asarray(nxt),
+                            encoder_hidden_states=jnp.asarray(enc_states),
+                            cache=pre["cache"])
+        np.testing.assert_allclose(
+            step["last_hidden_state"], hf_step.last_hidden_state.numpy(),
+            atol=2e-5)
+        # incremental step == position 6 of the full-sequence forward
+        full = bert_forward(
+            params, cfg, jnp.asarray(np.concatenate([prefix, nxt], 1)),
+            encoder_hidden_states=jnp.asarray(enc_states))
+        np.testing.assert_allclose(
+            step["last_hidden_state"][:, 0],
+            full["last_hidden_state"][:, 6], atol=2e-5)
+
+    def test_cached_rejects_attention_mask(self, decoder_hf):
+        from flash_attention_softmax_n_tpu.models.bert import (
+            init_bert_kv_cache,
+        )
+        cfg = bert_config_from_hf(decoder_hf.config)
+        params = bert_params_from_hf(decoder_hf, cfg)
+        cache = init_bert_kv_cache(cfg, batch=1, max_len=16)
+        with pytest.raises(ValueError, match="left-aligned"):
+            bert_forward(params, cfg, jnp.zeros((1, 4), jnp.int32),
+                         attention_mask=jnp.ones((1, 4), jnp.int32),
+                         cache=cache)
+
+    def test_causal_decoder_without_encoder(self, decoder_hf):
+        # is_decoder alone (no cross input): causal mask vs HF
+        rng = np.random.RandomState(4)
+        ids = rng.randint(0, 128, size=(1, 8)).astype(np.int32)
+        with torch.no_grad():
+            hf_out = decoder_hf(input_ids=torch.tensor(ids, dtype=torch.long))
+        cfg = bert_config_from_hf(decoder_hf.config)
+        params = bert_params_from_hf(decoder_hf, cfg)
+        out = bert_forward(params, cfg, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            out["last_hidden_state"],
+            hf_out.last_hidden_state.numpy(), atol=2e-5)
