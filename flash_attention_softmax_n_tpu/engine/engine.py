@@ -109,7 +109,7 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
 
 def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                          true_lens: jax.Array, slots: jax.Array,
-                         cache: Dict) -> Tuple[jax.Array, Dict]:
+                         cache: Dict, mesh=None) -> Tuple[jax.Array, Dict]:
     """Prefill ``nb`` slots with (nb, Lb) right-padded prompts in ONE pass.
 
     Admission is weight-bound (every prefill streams all weights), so
@@ -117,6 +117,11 @@ def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     across them. Duplicate slot entries are idempotent (the host pads a
     partial admission group by repeating its last request). Returns
     (last-true-token logits (nb, V), cache').
+
+    ``mesh``: serve tensor/data-parallel — the Pallas flash kernel is
+    shard_mapped over (batch='data', heads='model') instead of forcing the
+    O(L^2)-materializing XLA attention (heads are data-independent, so the
+    kernel partitions cleanly; see ops/flash_attention._shard_mapped_fused).
     """
     nb, lb = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
@@ -140,6 +145,7 @@ def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                 q, kf, vf, softmax_n_param=cfg.softmax_n, attn_mask=mask,
                 implementation=("xla" if cfg.attn_implementation == "xla"
                                 else "auto"),
+                mesh=mesh,
             )
             return ctx, None
         return attn
@@ -203,7 +209,8 @@ def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     return logits[0], cache
 
 
-def _greedy_fusable(params: Dict, cfg: DecoderConfig) -> bool:
+def _greedy_fusable(params: Dict, cfg: DecoderConfig, mesh=None,
+                    batch: Optional[int] = None) -> bool:
     """Can the greedy sampling ride the lm_head kernel epilogue?
 
     kernels/quant_matmul.quantized_matmul_argmax: int8 unpacked lm_head,
@@ -211,10 +218,58 @@ def _greedy_fusable(params: Dict, cfg: DecoderConfig) -> bool:
     can differ from the unfused path at near-ties (which round-trips
     logits through bf16 — see quantized_matmul_argmax's docstring); the
     (B, vocab) logits never touch HBM.
+
+    Under ``mesh`` the fused path additionally needs vocab % model-axis
+    and batch % data-axis divisibility (the shard_map merge in
+    _sharded_lm_head_argmax shards exactly, no padding).
     """
     lm = params["lm_head"]
-    return (isinstance(lm, QTensor) and lm.bits == 8
-            and lm.packed_axis is None and cfg.act_bits != 8)
+    ok = (isinstance(lm, QTensor) and lm.bits == 8
+          and lm.packed_axis is None and cfg.act_bits != 8)
+    if ok and mesh is not None:
+        tp = mesh.shape.get("model", 1)
+        dp = mesh.shape.get("data", 1)
+        ok = (lm.values.shape[1] % tp == 0
+              and (batch is None or batch % dp == 0))
+    return ok
+
+
+def _sharded_lm_head_argmax(x: jax.Array, lm: QTensor, mesh) -> jax.Array:
+    """Fused greedy sampling under TP: per-shard kernel argmax + merge.
+
+    The lm_head is vocab-sharded on 'model' (sharding.decoder_param_specs),
+    so each shard runs quantized_matmul_argmax over its local columns
+    (logits never hit HBM), offsets the local index to global vocab
+    coordinates, and the shard holding the max logit wins. Tie-break
+    matches single-device argmax: the all-gather orders shards by index,
+    and jnp.argmax takes the first — i.e. the lowest global column.
+    x (B, 1, D), returns (B, 1) int32 global token ids.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+        quantized_matmul_argmax,
+    )
+
+    scale_spec = (P(None, "model") if lm.scales.ndim == 2 else P("model"))
+
+    def local(xl, wv, ws):
+        idx, val = quantized_matmul_argmax(xl, wv, ws, return_max=True)
+        off = jax.lax.axis_index("model") * wv.shape[1]
+        gidx = (idx + off).astype(jnp.int32)
+        vals = jax.lax.all_gather(val, "model")   # (tp, Bl, 1)
+        idxs = jax.lax.all_gather(gidx, "model")
+        best = jnp.argmax(vals, axis=0)           # first max -> lowest shard
+        return jnp.take_along_axis(idxs, best[None], axis=0)[0]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None), P(None, "model"), scale_spec),
+        out_specs=P("data", None),
+        axis_names=frozenset({"data", "model"}),
+        check_vma=False,  # pallas_call emits vma-less out avals
+    )(x, lm.values, lm.scales)
 
 
 def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
@@ -360,12 +415,15 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    if greedy and _greedy_fusable(params, cfg):
+    if greedy and _greedy_fusable(params, cfg, mesh, tokens.shape[0]):
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
             quantized_matmul_argmax,
         )
         lm = params["lm_head"]
-        tok = quantized_matmul_argmax(x, lm.values, lm.scales)
+        if mesh is not None:
+            tok = _sharded_lm_head_argmax(x, lm, mesh)
+        else:
+            tok = quantized_matmul_argmax(x, lm.values, lm.scales)
         return tok[:, 0], cache, new_tail  # (B,) int32 greedy tokens
     logits = _mm(x, params["lm_head"], cfg.act_bits,
                  cfg.int8_mm_impl).astype(jnp.float32)
@@ -462,9 +520,10 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
         cache = dict(cache, k=_window(cache["k"]), v=_window(cache["v"]))
 
-    # mesh serving shards lm_head over N: the kernel's local argmax indices
-    # would need a cross-shard merge — keep the XLA argmax there
-    greedy = not sampling and mesh is None and _greedy_fusable(params, cfg)
+    # greedy rides the lm_head kernel epilogue; under mesh the vocab-sharded
+    # argmaxes merge across shards (_sharded_lm_head_argmax)
+    greedy = not sampling and _greedy_fusable(params, cfg, mesh,
+                                              tokens.shape[0])
 
     def make_step():
         def step(carry, xs):
@@ -586,10 +645,6 @@ class InferenceEngine:
         then serves tensor/data-parallel (weights Megatron-sharded, slots +
         cache on 'data'; see parallel/serving.py). max_batch must divide by
         the data-axis size and n_kv_heads by the model-axis size."""
-        if mesh is not None:
-            # the prefill path uses the Pallas flash kernel, which XLA's
-            # SPMD partitioner cannot split — force the XLA attention
-            cfg = dataclasses.replace(cfg, attn_implementation="xla")
         self.cfg = cfg
         self.mesh = mesh
         self.params = params
@@ -630,7 +685,7 @@ class InferenceEngine:
         # cache donation keeps admission/decode updates in place — without
         # it every prefill/step copies the whole KV cache
         self._prefill = jax.jit(
-            partial(engine_prefill_batch, cfg=cfg),
+            partial(engine_prefill_batch, cfg=cfg, mesh=mesh),
             donate_argnames=("cache",))
         self._decode = jax.jit(partial(engine_decode, cfg=cfg, mesh=mesh),
                                donate_argnames=("cache",))
@@ -694,7 +749,8 @@ class InferenceEngine:
         for a full chunk.
 
         ``max_steps`` bounds total decode-step *work*: a fused chunk counts
-        as its full ``loop_steps`` even if slots finish mid-chunk, and
+        as its full length even if slots finish mid-chunk (chunks adapt
+        down toward the soonest-finishing slot's budget, _chunk_steps), and
         admission-only iterations count as one step — so the loop always
         terminates after at most ``max_steps`` accounting units.
         """
@@ -708,9 +764,10 @@ class InferenceEngine:
                         break
                     steps_left -= 1  # admission-only iteration still counts
                     continue
-                if self._can_loop(loop_steps):
-                    done.extend(self._loop_chunk(loop_steps))
-                    steps_left -= loop_steps
+                chunk = self._fused_chunk_len(loop_steps)
+                if chunk:
+                    done.extend(self._loop_chunk(chunk))
+                    steps_left -= chunk
                     continue
             done.extend(self.step())
             steps_left -= 1
@@ -720,12 +777,56 @@ class InferenceEngine:
 
     # -- fused-loop serving internals ----------------------------------------
 
-    def _can_loop(self, loop_steps: int) -> bool:
-        w = -(-loop_steps // 8) * 8
+    # scheduling overhead of one loop-chunk boundary, in decode-step units
+    # (host round-trip + admission bookkeeping vs ~10ms/step at b=256);
+    # biases the chunk choice toward longer chunks
+    _SCHED_OVERHEAD_STEPS = 4
+
+    def _chunk_steps(self, loop_steps: int) -> int:
+        """Adaptive chunk length: maximize useful tokens per wall-clock.
+
+        A slot that exhausts its budget (or hits EOS) mid-chunk idles until
+        the chunk ends and its overrun tokens are discarded, but shorter
+        chunks pay a scheduling boundary more often. Chunk time is
+        ~c * t_step regardless of how many slots stay live, so pick the
+        power-of-two c <= loop_steps maximizing
+        sum_i min(rem_i, c) / (c + overhead). Homogeneous steady-state
+        batches still choose full chunks; churny mixed-budget pools drop
+        to the knee of the budget distribution instead of burning whole
+        chunks on mostly-finished batches. Compiled-variant count stays
+        log2(loop_steps/8)."""
+        rem = [self._slot_budget[i] for i, r in enumerate(self.slots)
+               if r is not None]
+        if not rem:
+            return loop_steps
+        best_c, best_rate = loop_steps, -1.0
+        c = 8
+        while c <= loop_steps:
+            rate = (sum(min(r, c) for r in rem)
+                    / (c + self._SCHED_OVERHEAD_STEPS))
+            if rate > best_rate:
+                best_rate, best_c = rate, c
+            c *= 2
+        return best_c
+
+    def _fused_chunk_len(self, loop_steps: int) -> int:
+        """The budget-adaptive chunk, shrunk (if needed) to the max_len
+        headroom of the fullest active slot; 0 when no fused chunk fits.
+        ONE lengths sync per scheduling point (cached for _loop_chunk's
+        attention window)."""
+        chunk = self._chunk_steps(loop_steps)
         lengths = jax.device_get(self.cache["lengths"])
         self._lengths_host = lengths  # reused by _loop_chunk's attn window
-        return all(self.slots[i] is None or int(lengths[i]) + w <= self.max_len
-                   for i in range(self.max_batch))
+        amax = max((int(lengths[i]) for i, r in enumerate(self.slots)
+                    if r is not None), default=0)
+        headroom = self.max_len - amax
+        while chunk:
+            if -(-chunk // 8) * 8 <= headroom:  # tail ring rounds up to 8s
+                return chunk
+            if chunk <= 8:
+                return 0
+            chunk //= 2
+        return 0
 
     def _loop_chunk(self, loop_steps: int) -> List[Request]:
         from flash_attention_softmax_n_tpu.engine.engine import (
@@ -835,6 +936,12 @@ class InferenceEngine:
             by_bucket[bkt].append(req)
         admitted: set = set()
         nb = min(8, self.max_batch)
+        # phase 1: DISPATCH every group's prefill + first-token sample
+        # without syncing — cache updates chain device-side (donation), and
+        # the host only needs the tokens at the very end. One device_get
+        # for the whole admission round instead of one per group (each sync
+        # costs a relay round-trip; churn admits many groups per round).
+        pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
         while free and any(by_bucket.values()):
             bucket = next(b for b in order if by_bucket[b])
             group: List[Tuple[int, Request]] = []
@@ -857,9 +964,11 @@ class InferenceEngine:
             logits, self.cache = self._prefill(
                 params=self.params, tokens=tokens, true_lens=true_lens,
                 slots=slots, cache=self.cache)
-            toks = self._sample(logits[:len(group)],
-                                [r for _, r in group])
-            toks_host = jax.device_get(toks)
+            pending.append((group, self._sample(logits[:len(group)],
+                                                [r for _, r in group])))
+        # phase 2: one sync, then bookkeeping
+        all_toks = jax.device_get([t for _, t in pending])
+        for (group, _), toks_host in zip(pending, all_toks):
             upd_idx, upd_val = [], []
             for (i, req), tok in zip(group, toks_host):
                 tok = int(tok)
@@ -878,6 +987,7 @@ class InferenceEngine:
                     upd_val.append(tok)
             for i, v in zip(upd_idx, upd_val):
                 self._next_host[i] = v
+        if pending:
             self._next_token = jnp.asarray(self._next_host)
         if admitted:
             # one O(queue) rebuild preserves global FIFO for what's left

@@ -160,7 +160,13 @@ def _decode_attn_stats(
     s_len = k_values.shape[2]
     quantized = k_scales is not None
 
-    hd_p = _round_up(hd, LANES)
+    # sub-128 head dims run UNPADDED (same rule as the prefill flash
+    # kernel): padding 64 -> 128 doubled every k/v DMA byte AND — much
+    # worse — materialized a fresh padded copy of the ENTIRE cache in HBM
+    # every decode step via jnp.pad, which is why this kernel measured 22ms
+    # vs XLA's 1.9ms at b=32/S=2048 in round 1. With hd and S block-aligned
+    # the pads below are zero-width and XLA elides them.
+    hd_p = hd if hd in (32, 64) else _round_up(hd, LANES)
     g_p = max(8, _round_up(group, 8))
     if block_s is None:
         # 512-row tiles exceed the 16MB scoped-VMEM budget in some program

@@ -116,7 +116,7 @@ def _qmm_kernel(bits: int, act_quant: bool, n_k_blocks: int,
 
 def _qmm_argmax_kernel(n_total: int, n_n_blocks: int, n_k_blocks: int,
                        block_n: int,
-                       x_ref, w_ref, s_ref, idx_ref,
+                       x_ref, w_ref, s_ref, idx_ref, val_ref,
                        acc, best_val, best_idx):
     jn = pl.program_id(1)
     ik = pl.program_id(2)
@@ -157,6 +157,9 @@ def _qmm_argmax_kernel(n_total: int, n_n_blocks: int, n_k_blocks: int,
         @pl.when(jn == n_n_blocks - 1)
         def _out():
             idx_ref[...] = best_idx[...]
+            # the winning logit value rides along for free — a TP caller
+            # needs it to merge argmaxes across vocab shards
+            val_ref[...] = best_val[...]
 
 
 def quantized_matmul_argmax(
@@ -166,8 +169,14 @@ def quantized_matmul_argmax(
     *,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
+    return_max: bool = False,
 ) -> jax.Array:
     """argmax_N(x (..., M, K) @ dequant(w) (K, N)) -> (..., M) int32.
+
+    ``return_max=True`` additionally returns the winning logit values
+    (..., M) f32 — the cross-shard merge key for tensor-parallel callers
+    whose lm_head is vocab-sharded (each shard argmaxes its local columns,
+    then the shard with the max value wins; engine._sharded_lm_head_argmax).
 
     The greedy-decode sampling epilogue fused into the int8 lm_head
     matmul: per N-tile row maxima and first-max indices merge in VMEM
@@ -207,7 +216,7 @@ def quantized_matmul_argmax(
 
     grid = (mp // bm, np_ // block_n, kp // block_k)
 
-    out = pl.pallas_call(
+    out, vals = pl.pallas_call(
         functools.partial(_qmm_argmax_kernel, n, grid[1], grid[2], block_n),
         grid=grid,
         in_specs=[
@@ -215,8 +224,10 @@ def quantized_matmul_argmax(
             pl.BlockSpec((block_k, block_n), lambda i, j, ik: (ik, j)),
             pl.BlockSpec((1, block_n), lambda i, j, ik: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, 1), lambda i, j, ik: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        out_specs=(pl.BlockSpec((bm, 1), lambda i, j, ik: (i, 0)),
+                   pl.BlockSpec((bm, 1), lambda i, j, ik: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((mp, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32),
                         pltpu.VMEM((bm, 1), jnp.float32),
                         pltpu.VMEM((bm, 1), jnp.int32)],
@@ -232,7 +243,12 @@ def quantized_matmul_argmax(
     )(xp, wp, sp)
 
     out = out[:m_total, 0]
-    return out.reshape(*lead, m) if lead else out
+    out = out.reshape(*lead, m) if lead else out
+    if not return_max:
+        return out
+    vals = vals[:m_total, 0]
+    vals = vals.reshape(*lead, m) if lead else vals
+    return out, vals
 
 
 def quantized_matmul(

@@ -155,6 +155,26 @@ class TestFusedArgmax:
         out = quantized_matmul_argmax(x, qt.values, qt.scales)
         assert out.shape == (4, 1) and out.dtype == jnp.int32
 
+    def test_return_max_values(self):
+        # the winning logit value must equal max of the dequant matmul —
+        # it is the TP cross-shard merge key (_sharded_lm_head_argmax)
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul,
+            quantized_matmul_argmax,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(5), (16, 256), jnp.float32)
+        qt = quantize(jax.random.normal(jax.random.PRNGKey(6), (256, 130)),
+                      bits=8, axis=0)
+        logits = quantized_matmul(x, qt.values, qt.scales, bits=8,
+                                  out_dtype=jnp.float32)
+        idx, vals = quantized_matmul_argmax(x, qt.values, qt.scales,
+                                            return_max=True)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.asarray(jnp.argmax(logits, -1)))
+        np.testing.assert_allclose(np.asarray(vals),
+                                   np.asarray(jnp.max(logits, -1)),
+                                   rtol=1e-6)
+
     def test_greedy_loop_parity(self):
         # fused-argmax loop tokens == per-step argmax-of-logits tokens
         from functools import partial
