@@ -657,6 +657,11 @@ class InferenceEngine:
         self._slot_budget = [0] * max_batch  # remaining new tokens per slot
         import numpy as _np
         self._next_host = _np.zeros((max_batch,), _np.int32)
+        # host mirror of cache['lengths'] for scheduling: exact for live
+        # slots (admission sets it, every chunk/step advances it), so the
+        # scheduler never blocks on a device round-trip to plan the next
+        # chunk — the decode dispatch can overlap the in-flight prefills
+        self._lengths_host = _np.zeros((max_batch,), _np.int64)
         self._next_token = jnp.zeros((max_batch,), jnp.int32)
         self._rng = jax.random.PRNGKey(0)
 
@@ -722,6 +727,7 @@ class InferenceEngine:
 
         next_host = jax.device_get(next_tokens)
         for i in active_slots:
+            self._lengths_host[i] += 1
             req = self.slots[i]
             tok = int(next_host[i])
             req.output.append(tok)
@@ -758,17 +764,26 @@ class InferenceEngine:
         steps_left = max_steps
         while steps_left > 0:
             if loop_steps is not None:
-                done.extend(self._admit())
+                # dispatch order is the overlap: prefills launch, the
+                # decode chunk launches right behind them (device-side
+                # dependency through the donated cache), and only THEN
+                # does the host sync on either — admission cost hides
+                # under the chunk's dispatch window
+                pending = self._admit_async()
                 if not any(s is not None for s in self.slots):
+                    done.extend(self._finalize_admission(pending))
                     if not self.queue:
                         break
                     steps_left -= 1  # admission-only iteration still counts
                     continue
                 chunk = self._fused_chunk_len(loop_steps)
                 if chunk:
-                    done.extend(self._loop_chunk(chunk))
+                    handle = self._dispatch_chunk(chunk)
+                    done.extend(self._finalize_admission(pending))
+                    done.extend(self._finalize_chunk(handle))
                     steps_left -= chunk
                     continue
+                done.extend(self._finalize_admission(pending))
             done.extend(self.step())
             steps_left -= 1
             if not self.queue and all(s is None for s in self.slots):
@@ -812,12 +827,11 @@ class InferenceEngine:
     def _fused_chunk_len(self, loop_steps: int) -> int:
         """The budget-adaptive chunk, shrunk (if needed) to the max_len
         headroom of the fullest active slot; 0 when no fused chunk fits.
-        ONE lengths sync per scheduling point (cached for _loop_chunk's
-        attention window)."""
+        Planning runs entirely on host-tracked lengths — no device sync,
+        so the chunk dispatch overlaps the in-flight admission prefills."""
         chunk = self._chunk_steps(loop_steps)
-        lengths = jax.device_get(self.cache["lengths"])
-        self._lengths_host = lengths  # reused by _loop_chunk's attn window
-        amax = max((int(lengths[i]) for i, r in enumerate(self.slots)
+        amax = max((int(self._lengths_host[i])
+                    for i, r in enumerate(self.slots)
                     if r is not None), default=0)
         headroom = self.max_len - amax
         while chunk:
@@ -829,6 +843,11 @@ class InferenceEngine:
         return 0
 
     def _loop_chunk(self, loop_steps: int) -> List[Request]:
+        return self._finalize_chunk(self._dispatch_chunk(loop_steps))
+
+    def _dispatch_chunk(self, loop_steps: int):
+        """Launch one fused decode chunk; returns the bookkeeping handle
+        (device tokens + the slots that were active at entry). No sync."""
         from flash_attention_softmax_n_tpu.engine.engine import (
             engine_decode_loop,
         )
@@ -836,11 +855,9 @@ class InferenceEngine:
         # attention cache window: the loop only attends main-cache rows up
         # to the loop-entry lengths of ACTIVE slots; bucket to 256s so each
         # loop_steps compiles at most max_len/256 variants
-        lengths = getattr(self, "_lengths_host", None)
-        if lengths is None:
-            lengths = jax.device_get(self.cache["lengths"])
-        amax = max((int(lengths[i]) for i, r in enumerate(self.slots)
-                    if r is not None), default=0)
+        entry_active = [i for i, r in enumerate(self.slots) if r is not None]
+        amax = max((int(self._lengths_host[i]) for i in entry_active),
+                   default=0)
         attn_len = min(self.max_len, -(-max(amax, 1) // 256) * 256)
 
         if not hasattr(self, "_loops"):
@@ -873,11 +890,24 @@ class InferenceEngine:
         toks, self.cache, _ = self._loops[key](
             params=self.params, tokens=self._next_token, cache=self.cache,
             active=active, **sample_kw)
+        # slots active at entry advance exactly loop_steps on device (the
+        # loop never deactivates slots itself — EOS handling is host-side)
+        for i in entry_active:
+            self._lengths_host[i] += loop_steps
+        return toks, entry_active
+
+    def _finalize_chunk(self, handle) -> List[Request]:
+        """Sync on a dispatched chunk's tokens and do the bookkeeping.
+        Slots freed since dispatch (e.g. a first-token EOS found by
+        _finalize_admission) are skipped — their chunk tokens are
+        discarded, the standard over-generation rule."""
+        toks, entry_active = handle
         toks_host = jax.device_get(toks)
 
         finished = []
         upd_idx, upd_val = [], []
-        for i, req in enumerate(self.slots):
+        for i in entry_active:
+            req = self.slots[i]
             if req is None:
                 continue
             emitted = [int(t) for t in toks_host[i]]
@@ -910,16 +940,33 @@ class InferenceEngine:
     # -- internals ----------------------------------------------------------
 
     def _admit(self) -> List[Request]:
+        """Synchronous admission: dispatch + finalize in one call (the
+        per-step path); the fused-loop scheduler instead interleaves
+        _admit_async / _dispatch_chunk / _finalize_admission so the decode
+        chunk is dispatched before the host ever waits on a prefill."""
+        return self._finalize_admission(self._admit_async())
+
+    def _admit_async(self) -> List[Tuple[List[Tuple[int, Request]],
+                                         jax.Array]]:
         """Admit queued requests into free slots, prefilling same-bucket
         groups in one batched forward (admission is weight-bound; batching
         amortizes the weight stream across requests). Groups are always
         padded to the full group size — min(8, max_batch) — by repeating
         the last request; duplicate slot writes are idempotent, so each
-        prompt bucket compiles exactly ONE prefill shape."""
-        finished = []
+        prompt bucket compiles exactly ONE prefill shape.
+
+        DISPATCH-ONLY: no host sync. Slots/budgets/host-lengths are
+        assigned eagerly and each group's first tokens are scattered into
+        ``_next_token`` on device, so a decode chunk can launch immediately
+        after — admission bookkeeping (EOS / 1-token finishes) happens in
+        _finalize_admission once the results are needed. A request that
+        finishes on its first token still rides the next chunk as an
+        active slot; its chunk tokens are discarded at bookkeeping (the
+        same over-generation-discard rule the chunk already uses).
+        """
         free = [i for i in range(self.max_batch) if self.slots[i] is None]
         if not (free and self.queue):
-            return finished
+            return []
         # ONE pass partitions the queue by prompt bucket (cross-bucket
         # reordering within an admission round is standard continuous
         # batching); FIFO preserved within a bucket and across rounds
@@ -936,11 +983,6 @@ class InferenceEngine:
             by_bucket[bkt].append(req)
         admitted: set = set()
         nb = min(8, self.max_batch)
-        # phase 1: DISPATCH every group's prefill + first-token sample
-        # without syncing — cache updates chain device-side (donation), and
-        # the host only needs the tokens at the very end. One device_get
-        # for the whole admission round instead of one per group (each sync
-        # costs a relay round-trip; churn admits many groups per round).
         pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
         while free and any(by_bucket.values()):
             bucket = next(b for b in order if by_bucket[b])
@@ -964,17 +1006,43 @@ class InferenceEngine:
             logits, self.cache = self._prefill(
                 params=self.params, tokens=tokens, true_lens=true_lens,
                 slots=slots, cache=self.cache)
-            pending.append((group, self._sample(logits[:len(group)],
-                                                [r for _, r in group])))
-        # phase 2: one sync, then bookkeeping
+            # sample the whole padded group (fixed (nb,) shape) and push
+            # the first tokens straight into the decode input on device.
+            # Padding rows duplicate the last request but may SAMPLE a
+            # different token (independent per-row draws) and duplicate-
+            # index scatter order is undefined — so padding rows scatter to
+            # an out-of-range index and are dropped; only row j feeds slot
+            # group[j], exactly the rows bookkeeping reads.
+            toks = self._sample(logits, [r for _, r in padded_group])
+            scatter_slots = jnp.asarray(
+                [i for i, _ in group] + [self.max_batch] * (nb - len(group)),
+                jnp.int32)
+            self._next_token = self._next_token.at[scatter_slots].set(
+                toks, mode="drop")
+            for i, req in group:
+                self.slots[i] = req
+                self._lengths_host[i] = len(req.prompt)
+                self._slot_budget[i] = req.max_new_tokens - 1
+            pending.append((group, toks))
+        if admitted:
+            # one O(queue) rebuild preserves global FIFO for what's left
+            self.queue = deque(r for r in self.queue
+                               if id(r) not in admitted)
+        return pending
+
+    def _finalize_admission(
+            self, pending: List[Tuple[List[Tuple[int, Request]],
+                                      jax.Array]]) -> List[Request]:
+        """One sync for the whole admission round, then bookkeeping:
+        first-token append, EOS / 1-token finishes, next-token mirror."""
+        finished: List[Request] = []
+        if not pending:
+            return finished
         all_toks = jax.device_get([t for _, t in pending])
         for (group, _), toks_host in zip(pending, all_toks):
-            upd_idx, upd_val = [], []
             for (i, req), tok in zip(group, toks_host):
                 tok = int(tok)
                 req.output.append(tok)
-                self.slots[i] = req
-                self._slot_budget[i] = req.max_new_tokens - 1
                 if (req.max_new_tokens <= 1
                         or (req.eos_token is not None
                             and tok == req.eos_token)):
@@ -983,16 +1051,7 @@ class InferenceEngine:
                     self.slots[i] = None
                     self._slot_budget[i] = 0
                 else:
-                    upd_idx.append(i)
-                    upd_val.append(tok)
-            for i, v in zip(upd_idx, upd_val):
-                self._next_host[i] = v
-        if pending:
-            self._next_token = jnp.asarray(self._next_host)
-        if admitted:
-            # one O(queue) rebuild preserves global FIFO for what's left
-            self.queue = deque(r for r in self.queue
-                               if id(r) not in admitted)
+                    self._next_host[i] = tok
         return finished
 
     def _sample(self, logits: jax.Array,

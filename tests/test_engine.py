@@ -342,6 +342,31 @@ class TestLoopServing:
         done = eng.run_until_done(loop_steps=8)
         assert all(r.output == expected for r in done)
 
+    def test_first_token_eos_with_loop(self, params):
+        # a request finishing on its FIRST token is freed by admission
+        # bookkeeping AFTER the decode chunk already dispatched with its
+        # slot active — the chunk's tokens for that slot must be discarded
+        prompt = [3, 14, 15]
+        first = reference_tokens(params, prompt, 1)[0]
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        eng.submit(prompt, max_new_tokens=10, eos_token=first)
+        eng.submit([9, 2, 6], max_new_tokens=6)
+        done = eng.run_until_done(loop_steps=8)
+        outs = {r.request_id: r for r in done}
+        assert outs[0].output == [first] and outs[0].done
+        assert outs[1].output == reference_tokens(params, [9, 2, 6], 6)
+
+    def test_one_token_budget_with_loop(self, params):
+        prompt = [5, 3, 5]
+        expected = reference_tokens(params, prompt, 1)
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        eng.submit(prompt, max_new_tokens=1)
+        eng.submit(prompt, max_new_tokens=5)
+        done = eng.run_until_done(loop_steps=8)
+        outs = {r.request_id: r.output for r in done}
+        assert outs[0] == expected
+        assert outs[1] == reference_tokens(params, prompt, 5)
+
     def test_nucleus_sampling_varies_on_loop(self, params):
         # two identical nucleus requests should diverge (high temperature,
         # wide p) while staying inside the truncated support
