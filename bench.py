@@ -46,10 +46,11 @@ def emit_and_exit(error=None, code=0):
     """Print exactly one JSON line (idempotent) and hard-exit."""
     if not _EMITTED.acquire(blocking=False):  # someone already emitted
         os._exit(code)
+    batch = RESULTS.get("headline_batch", 512)
     out = {
         "metric": "softmax1 1.1B (TinyLlama-shape) decode tokens/sec/chip "
-                  "(INT8 weights + INT8 KV, continuous batching b=512; "
-                  "baseline: dense bf16 at its HBM-limited best b=256)",
+                  f"(INT8 weights + INT8 KV, continuous batching b={batch}; "
+                  f"baseline: dense bf16 at b=256)",
         "value": None,
         "unit": "tokens/sec/chip",
         "vs_baseline": None,
@@ -465,6 +466,7 @@ def main():
         # minimal driver-friendly tier: the headline quantized number at a
         # smaller batch plus its dense baseline, nothing else
         qparams = quantize_decoder_weights(params, bits=8)
+        RESULTS["headline_batch"] = 256  # label the quick operating point
         quant_tps = bench_decode(cfg, qparams, kv_quantization="int8",
                                  batch=256, decode_steps=32)
         RESULTS["quant_tps"] = quant_tps

@@ -814,6 +814,10 @@ class InferenceEngine:
                if r is not None]
         if not rem:
             return loop_steps
+        if not any(rem):
+            # every live slot has an exhausted budget (all pending
+            # first-token finishes) — a chunk would be 100% discarded
+            return 0
         best_c, best_rate = loop_steps, -1.0
         c = 8
         while c <= loop_steps:
@@ -830,6 +834,8 @@ class InferenceEngine:
         Planning runs entirely on host-tracked lengths — no device sync,
         so the chunk dispatch overlaps the in-flight admission prefills."""
         chunk = self._chunk_steps(loop_steps)
+        if not chunk:
+            return 0
         amax = max((int(self._lengths_host[i])
                     for i, r in enumerate(self.slots)
                     if r is not None), default=0)
@@ -841,9 +847,6 @@ class InferenceEngine:
                 return 0
             chunk //= 2
         return 0
-
-    def _loop_chunk(self, loop_steps: int) -> List[Request]:
-        return self._finalize_chunk(self._dispatch_chunk(loop_steps))
 
     def _dispatch_chunk(self, loop_steps: int):
         """Launch one fused decode chunk; returns the bookkeeping handle
@@ -983,6 +986,12 @@ class InferenceEngine:
             by_bucket[bkt].append(req)
         admitted: set = set()
         nb = min(8, self.max_batch)
+        if self.mesh is not None:
+            # the meshed prefill shard_maps over 'data': the group batch
+            # must divide the axis (max_batch % dp == 0 is the engine
+            # contract, so rounding up stays <= max_batch)
+            dp = self.mesh.shape.get("data", 1)
+            nb = min(self.max_batch, -(-nb // dp) * dp)
         pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
         while free and any(by_bucket.values()):
             bucket = next(b for b in order if by_bucket[b])

@@ -192,8 +192,17 @@ def flash_attention_n(
     if use_dropout and dropout_rng is None:
         raise ValueError("dropout requires dropout_rng")
     can_pallas = E == Ev
+    mesh_divisible = True
+    if mesh is not None:
+        # the shard_mapped kernel needs exact divisibility on the manual
+        # axes; 'auto' degrades to the GSPMD-partitionable XLA path instead
+        # (explicit 'pallas' raises inside _shard_mapped_fused)
+        for ax, dim in ((batch_axis, q4.shape[0]), (head_axis, q4.shape[1])):
+            if ax in mesh.axis_names and dim % mesh.shape[ax]:
+                mesh_divisible = False
     if implementation == "auto":
-        implementation = "pallas" if can_pallas else "xla"
+        implementation = ("pallas" if can_pallas and mesh_divisible
+                          else "xla")
     if implementation == "pallas" and not can_pallas:
         raise ValueError(
             "pallas path requires E == Ev; use implementation='xla'"

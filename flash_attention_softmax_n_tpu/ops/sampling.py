@@ -57,11 +57,11 @@ def sample_tokens(
         sampled = jax.random.categorical(rng, scaled, axis=-1)
         return jnp.where(temps > 0, sampled.astype(jnp.int32), greedy_tok)
 
-    # one descending sort serves both truncations
+    # one descending sort serves both truncations; top-k applies FIRST and
+    # top-p measures mass on the k-truncated (renormalized) distribution —
+    # HF top_k_top_p_filtering composes its warpers in that order
     sort_idx = jnp.argsort(-scaled, axis=-1)
     sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
     pos = jnp.arange(v, dtype=jnp.int32)[None, :]
 
     keep = jnp.ones(scaled.shape, bool)
@@ -71,6 +71,9 @@ def sample_tokens(
         keep &= pos < k
     if top_p is not None:
         p = jnp.asarray(top_p, jnp.float32)[:, None]
+        after_k = jnp.where(keep, sorted_logits, -jnp.inf)
+        probs = jax.nn.softmax(after_k, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
         # keep the smallest prefix whose mass reaches p: token j survives
         # iff the mass strictly before it is < p (j=0 always survives)
         keep &= (cum - probs) < p

@@ -95,8 +95,14 @@ def make_hybrid_mesh(dcn_axes: Dict[str, int],
             f"have {len(devs)}")
     devs = devs[:n]
     try:
+        # create_hybrid_device_mesh returns an array of rank
+        # len(mesh_shape) with per-axis sizes mesh_shape * dcn_mesh_shape
+        # (elementwise), so both shape lists must cover ALL logical axes:
+        # dcn axes get ici extent 1 and vice versa.
+        ici_ext = (1,) * len(dcn_shape) + ici_shape
+        dcn_ext = dcn_shape + (1,) * len(ici_shape)
         device_array = mesh_utils.create_hybrid_device_mesh(
-            ici_shape, dcn_shape, devices=devs,
+            ici_ext, dcn_ext, devices=devs,
             process_is_granule=False)
     except (ValueError, AssertionError, KeyError):
         # virtual/CPU or single-slice devices carry no slice topology:

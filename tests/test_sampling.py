@@ -102,6 +102,18 @@ class TestSampleTokens:
         n_keep = int(np.sum(np.cumsum(probs[order]) - probs[order] < 0.6))
         assert set(out[:, 2]) <= set(order[:n_keep])
 
+    def test_top_k_then_top_p_composes_hf_order(self):
+        # HF warper order: top-k truncates, top-p measures mass on the
+        # RENORMALIZED k-truncated row. probs [0.4,0.3,0.2,0.1], k=2,
+        # p=0.55: after k the top-2 renormalize to [0.571,0.429] and
+        # token1 is dropped (mass before it 0.571 >= 0.55) — only the
+        # argmax survives. Measuring p on the full row would keep token1.
+        base = jnp.log(jnp.asarray([[0.4, 0.3, 0.2, 0.1]]))
+        temps = jnp.ones(1)
+        out = _many(base, temps, top_k=jnp.asarray([2], jnp.int32),
+                    top_p=jnp.asarray([0.55]), n=100)
+        assert set(out[:, 0]) == {0}
+
     def test_fast_path_matches_distribution(self, logits):
         # the sort-free path (k/p None) must agree with categorical
         temps = jnp.full(4, 1.0)
