@@ -418,3 +418,28 @@ class TestMeshedInferenceEngine:
         ref = run(None)
         out = run(make_mesh({"data": 2, "model": 4}))
         assert out == ref
+
+    def test_engine_on_mesh_pallas_prefill_matches(self):
+        # same invariant with the auto (Pallas, interpreted on CPU)
+        # attention: the meshed prefill runs the shard_mapped kernel
+        # instead of the XLA fallback and must still be token-identical
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.engine import InferenceEngine
+        from flash_attention_softmax_n_tpu.models import init_decoder_params
+
+        cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4,
+                                  attn_implementation="auto")
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+        def run(mesh):
+            eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                                  mesh=mesh)
+            for j, p in enumerate(prompts):
+                eng.submit(p, max_new_tokens=5 + j)
+            done = eng.run_until_done(loop_steps=8)
+            return {r.request_id: r.output for r in done}
+
+        ref = run(None)
+        out = run(make_mesh({"data": 2, "model": 4}))
+        assert out == ref
