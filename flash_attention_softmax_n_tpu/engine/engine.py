@@ -95,7 +95,7 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
     )
 
     quantized = isinstance(k_cache, QTensor)
-    impl = "xla"
+    impl = getattr(cfg, "decode_attn_impl", "xla")
     kwargs = dict(
         softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5,
         k_new=k_new, v_new=v_new, k_tail=k_tail, v_tail=v_tail,

@@ -68,6 +68,12 @@ class DecoderConfig:
     # kernels/quant_matmul.py (which still serves W8A8 and int4, and
     # enables the fused-MLP kernel). Baked in at trace time.
     int8_mm_impl: str = "xla"
+    # decode attention route: "xla" (default) — batched-matvec stats over
+    # the bucketed cache view, measured fastest on v5e round 1; "pallas" —
+    # the length-clamped-DMA kernel (kernels/decode_attention.py), whose
+    # per-slot clamping wins when slot lengths vary widely (re-measure
+    # after the hd-unpadded fix with scripts/bench_decode_attn.py)
+    decode_attn_impl: str = "xla"
     # gradient rematerialization: recompute each layer in the backward
     # pass instead of storing its activations — O(1) activation memory in
     # depth, the standard long-sequence training trade (jax.checkpoint)
