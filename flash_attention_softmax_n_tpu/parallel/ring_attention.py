@@ -31,10 +31,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from flash_attention_softmax_n_tpu.kernels.flash_attention import (
-    flash_attention_n_fused,
-)
-
 __all__ = ["ring_attention_n"]
 
 NEG_INF = -1e30
@@ -57,11 +53,6 @@ def _local_attention_block(q, k, v, scale, mode, implementation):
 
     def _attend(is_causal):
         def branch(q, k, v):
-            if implementation == "pallas":
-                o, lse = flash_attention_n_fused(
-                    q, k, v, softmax_n_param=0.0, scale=scale,
-                    is_causal=is_causal, return_residuals=True)
-                return o.astype(q.dtype), lse.astype(jnp.float32)
             s = jnp.einsum("bhle,bhse->bhls", q, k,
                            preferred_element_type=jnp.float32) * scale
             if is_causal:
@@ -107,11 +98,23 @@ def ring_attention_n(
 
     q/k/v (B, H, L, E) logically; physically sharded (B, H, L/p, E) over
     ``axis_name``. Returns the attention output with the same sharding as q.
+
+    The per-block attention is the XLA formulation on every backend
+    (``implementation`` is accepted for API stability and ignored): each
+    block is a local (L/p, L/p) problem that XLA fuses well, and — unlike
+    routing blocks through the Pallas kernel's ``return_residuals`` path —
+    it is exactly differentiable end to end: the ring combine depends on
+    each block's logsumexp, whose cotangent the kernel's custom VJP treats
+    as a non-differentiable auxiliary (and pallas_call outputs currently
+    lack the vma typing shard_map's checker requires). A ring-aware kernel
+    VJP (per-block flash backward against the saved GLOBAL lse, rotating
+    dk/dv with the blocks) is the designed path to long-context blocks
+    that don't fit the (L/p)^2 materialization.
     """
+    del implementation
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if implementation == "auto":
-        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+    implementation = "xla"
 
     def local_fn(q, k, v):
         p = jax.lax.axis_size(axis_name)
