@@ -12,23 +12,33 @@ per-block partials are computed with **n = 0** (pure softmax-0 statistics)
 and each block returns its output and logsumexp; the ``+n`` enters exactly
 once, in the final combine on the device that owns the query row:
 
-    denom = n + sum_blocks exp(lse_b)
-    out   = sum_blocks o_b * exp(lse_b) / denom
+    denom = n·exp(-m) + sum_blocks exp(lse_b - m)
+    out   = sum_blocks o_b · exp(lse_b - m) / denom
 
 Causality across the ring: device q_rank attends kv block b fully when
 b < q_rank, partially (local causal mask) when b == q_rank, not at all when
-b > q_rank (the partial is computed and masked to zero weight — uniform
-control flow keeps the ring in lockstep).
+b > q_rank (mode selection via ``lax.switch`` keeps the ring in lockstep —
+every device runs the same program but executes only its branch).
+
+Backward is a RING-AWARE custom VJP, not autodiff through the forward scan:
+the forward saves only (out, global lse_n) per local query row — the same
+residual design as the Pallas kernel's VJP (p is recomputed per block from
+``exp(s - lse_n)``, and ``delta = Σ dout·out`` handles the normalization
+coupling exactly, phantom ``+n`` key included since its value row is 0).
+dk/dv accumulators ROTATE WITH their k/v block: block b's gradient starts on
+its owner, visits every query shard, and arrives home after p steps —
+O(block) residual memory instead of the O(p · block²) a scanned-forward
+autodiff would checkpoint.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["ring_attention_n"]
@@ -36,19 +46,26 @@ __all__ = ["ring_attention_n"]
 NEG_INF = -1e30
 
 
-def _local_attention_block(q, k, v, scale, mode, implementation):
+def _pcast_varying(x, like):
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.lax.pcast(x, tuple(vma), to="varying")
+    return x
+
+
+def _block_mode(is_causal: bool, p, my, t):
+    """0 = attend fully, 1 = causal within block, 2 = skip (future)."""
+    block_owner = jax.lax.rem(my - t + p, p)
+    if is_causal:
+        return jnp.where(block_owner < my, 0,
+                         jnp.where(block_owner == my, 1, 2)).astype(jnp.int32)
+    return jnp.zeros((), jnp.int32)
+
+
+def _local_attention_block(q, k, v, scale, mode):
     """softmax-0 partial attention of local q against one visiting kv block.
 
-    mode: 0 = full (block strictly in the past), 1 = diagonal (causal
-    within block), 2 = skip (block strictly in the future).
     Returns (o, lse) with lse = log(sum_j exp(s_j)) (n=0 statistics).
-
-    ``mode`` is a traced per-device scalar, so the three cases go through
-    ``lax.switch``: every device runs the same *program* (the ring stays
-    in lockstep — no collectives live inside the branches) but executes
-    only its own branch, so a causal ring does 1 diagonal + past-only full
-    blocks instead of computing full AND diagonal attention at every step
-    (which doubled the ring's FLOPs).
     """
 
     def _attend(is_causal):
@@ -68,18 +85,153 @@ def _local_attention_block(q, k, v, scale, mode, implementation):
         return branch
 
     def _skip(q, k, v):
-        # constants must still be typed device-varying over the ring axis
-        # so all switch branches agree on vma types
         o = jnp.zeros(q.shape[:3] + (v.shape[-1],), q.dtype)
         lse = jnp.full(q.shape[:3], NEG_INF, jnp.float32)
-        vma = getattr(jax.typeof(q), "vma", None)
-        if vma:
-            o = jax.lax.pcast(o, tuple(vma), to="varying")
-            lse = jax.lax.pcast(lse, tuple(vma), to="varying")
-        return o, lse
+        return _pcast_varying(o, q), _pcast_varying(lse, q)
 
     return jax.lax.switch(mode, [_attend(False), _attend(True), _skip],
                           q, k, v)
+
+
+def _ring_fwd_impl(cfg, q, k, v) -> Tuple[jax.Array, jax.Array]:
+    """Forward ring: returns (out, lse_n) with lse_n the GLOBAL softmax-N
+    logsumexp per local query row — p_ij == exp(s_ij - lse_n_i) exactly."""
+    axis_name, scale, n, is_causal = cfg
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+
+    def step(carry, t):
+        # running state is the kernel's (un-normalized acc, max, sum):
+        #   o_tilde = sum_seen exp(s - m) v;  l = sum_seen exp(s - m)
+        o_tilde, m, l, k_cur, v_cur = carry
+        mode = _block_mode(is_causal, p, my, t)
+        o_b, lse_b = _local_attention_block(q, k_cur, v_cur, scale, mode)
+
+        # fold: block contributes exp(lse_b - m_new) * o_b (o_b is the
+        # block-normalized output, so o_b * exp(lse_b) is its raw sum)
+        m_new = jnp.maximum(m, lse_b)
+        m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+        alpha = jnp.exp(m - m_safe)
+        alpha = jnp.where(m <= NEG_INF / 2, 0.0, alpha)
+        w_b = jnp.exp(lse_b - m_safe)
+        w_b = jnp.where(lse_b <= NEG_INF / 2, 0.0, w_b)
+        o_tilde = o_tilde * alpha[..., None] \
+            + o_b.astype(jnp.float32) * w_b[..., None]
+        l = l * alpha + w_b
+        m = m_new
+
+        # rotate kv to the right neighbor
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (o_tilde, m, l, k_nxt, v_nxt), None
+
+    b, h, lq, e = q.shape
+    # mark initial carries as device-varying over the ring axis (shard_map
+    # vma typing: the loop outputs vary across 'sp', so inputs must too)
+    o_tilde = _pcast_varying(jnp.zeros((b, h, lq, e), jnp.float32), q)
+    m = _pcast_varying(jnp.full((b, h, lq), NEG_INF, jnp.float32), q)
+    l = _pcast_varying(jnp.zeros((b, h, lq), jnp.float32), q)
+    (o_tilde, m, l, _, _), _ = jax.lax.scan(
+        step, (o_tilde, m, l, k, v), jnp.arange(p))
+
+    # final normalization — the +n enters exactly once, here, in the
+    # same numeraire as the running max: denom = l + n * exp(-m)
+    m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+    n_term = n * jnp.exp(jnp.minimum(-m_safe, 80.0))
+    denom = l + n_term
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    empty = l == 0.0
+    out = jnp.where(empty[..., None] & (n > 0),
+                    0.0, o_tilde / safe[..., None])
+    lse_n = m_safe + jnp.log(safe)
+    return out.astype(q.dtype), lse_n
+
+
+def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
+    """Per-block flash backward against the GLOBAL lse: recompute
+    p = exp(s - lse_n) (true softmax-N probabilities), then
+    ds = p ∘ (dout·vᵀ − delta). delta = Σ dout·out is exact for
+    softmax-N because the phantom key's value row is zero."""
+
+    def _grads(is_causal):
+        def branch(q, k, v, dout, lse_n, delta):
+            s = jnp.einsum("bhle,bhse->bhls", q, k,
+                           preferred_element_type=jnp.float32) * scale
+            if is_causal:
+                lq, lk = q.shape[2], k.shape[2]
+                causal = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+                s = jnp.where(causal, s, NEG_INF)
+            pm = jnp.exp(s - lse_n[..., None])  # masked entries -> 0
+            dv_b = jnp.einsum("bhls,bhlv->bhsv", pm,
+                              dout.astype(jnp.float32))
+            dp = jnp.einsum("bhlv,bhsv->bhls", dout.astype(jnp.float32),
+                            v.astype(jnp.float32))
+            ds = pm * (dp - delta[..., None])
+            dq_b = jnp.einsum("bhls,bhse->bhle", ds,
+                              k.astype(jnp.float32)) * scale
+            dk_b = jnp.einsum("bhls,bhle->bhse", ds,
+                              q.astype(jnp.float32)) * scale
+            return dq_b, dk_b, dv_b
+        return branch
+
+    def _skip(q, k, v, dout, lse_n, delta):
+        z = lambda shape: _pcast_varying(jnp.zeros(shape, jnp.float32), q)
+        return (z(q.shape), z(k.shape),
+                z(k.shape[:3] + (v.shape[-1],)))
+
+    return jax.lax.switch(mode, [_grads(False), _grads(True), _skip],
+                          q, k, v, dout, lse_n, delta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_local(cfg, q, k, v):
+    out, _ = _ring_fwd_impl(cfg, q, k, v)
+    return out
+
+
+def _ring_local_fwd(cfg, q, k, v):
+    out, lse_n = _ring_fwd_impl(cfg, q, k, v)
+    return out, (q, k, v, out, lse_n)
+
+
+def _ring_local_bwd(cfg, res, dout):
+    axis_name, scale, n, is_causal = cfg
+    q, k, v, out, lse_n = res
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (b, h, lq)
+
+    def step(carry, t):
+        k_cur, v_cur, dk_cur, dv_cur, dq = carry
+        mode = _block_mode(is_causal, p, my, t)
+        dq_b, dk_b, dv_b = _block_grads(q, k_cur, v_cur, dout, lse_n,
+                                        delta, scale, mode)
+        dq = dq + dq_b
+        dk_cur = dk_cur + dk_b
+        dv_cur = dv_cur + dv_b
+        # the gradient accumulators rotate WITH their block: block b's
+        # dk/dv start on its owner at t=0, visit every query shard, and
+        # are home again after p rotations
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq), None
+
+    dk0 = _pcast_varying(jnp.zeros(k.shape[:3] + (k.shape[-1],),
+                                   jnp.float32), q)
+    dv0 = _pcast_varying(jnp.zeros(v.shape[:3] + (v.shape[-1],),
+                                   jnp.float32), q)
+    dq0 = _pcast_varying(jnp.zeros(q.shape, jnp.float32), q)
+    (_, _, dk, dv, dq), _ = jax.lax.scan(
+        step, (k, v, dk0, dv0, dq0), jnp.arange(p))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_local.defvjp(_ring_local_fwd, _ring_local_bwd)
 
 
 def ring_attention_n(
@@ -98,88 +250,23 @@ def ring_attention_n(
 
     q/k/v (B, H, L, E) logically; physically sharded (B, H, L/p, E) over
     ``axis_name``. Returns the attention output with the same sharding as q.
-
-    The per-block attention is the XLA formulation on every backend
-    (``implementation`` is accepted for API stability and ignored): each
-    block is a local (L/p, L/p) problem that XLA fuses well, and — unlike
-    routing blocks through the Pallas kernel's ``return_residuals`` path —
-    it is exactly differentiable end to end: the ring combine depends on
-    each block's logsumexp, whose cotangent the kernel's custom VJP treats
-    as a non-differentiable auxiliary (and pallas_call outputs currently
-    lack the vma typing shard_map's checker requires). A ring-aware kernel
-    VJP (per-block flash backward against the saved GLOBAL lse, rotating
-    dk/dv with the blocks) is the designed path to long-context blocks
-    that don't fit the (L/p)^2 materialization.
+    Differentiable end to end via the ring-aware custom VJP (module
+    docstring); per-block compute is the XLA formulation on every backend
+    (``implementation`` is accepted for API stability and ignored — the
+    Pallas kernel's residual outputs currently carry neither the lse
+    cotangent nor the vma typing shard_map requires).
     """
     del implementation
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    implementation = "xla"
 
-    def local_fn(q, k, v):
-        p = jax.lax.axis_size(axis_name)
-        my = jax.lax.axis_index(axis_name)
-
-        def step(carry, t):
-            # running state is the kernel's (un-normalized acc, max, sum):
-            #   o_tilde = sum_seen exp(s - m) v;  l = sum_seen exp(s - m)
-            o_tilde, m, l, k_cur, v_cur = carry
-            # at step t this device holds kv block (my - t) mod p
-            block_owner = jax.lax.rem(my - t + p, p)
-            if is_causal:
-                mode = jnp.where(block_owner < my, 0,
-                                 jnp.where(block_owner == my, 1, 2))
-            else:
-                mode = jnp.zeros((), jnp.int32)
-            o_b, lse_b = _local_attention_block(
-                q, k_cur, v_cur, scale, mode, implementation)
-
-            # fold: block contributes exp(lse_b - m_new) * o_b (o_b is the
-            # block-normalized output, so o_b * exp(lse_b) is its raw sum)
-            m_new = jnp.maximum(m, lse_b)
-            m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-            alpha = jnp.exp(m - m_safe)
-            alpha = jnp.where(m <= NEG_INF / 2, 0.0, alpha)
-            w_b = jnp.exp(lse_b - m_safe)
-            w_b = jnp.where(lse_b <= NEG_INF / 2, 0.0, w_b)
-            o_tilde = o_tilde * alpha[..., None] \
-                + o_b.astype(jnp.float32) * w_b[..., None]
-            l = l * alpha + w_b
-            m = m_new
-
-            # rotate kv to the right neighbor
-            perm = [(i, (i + 1) % p) for i in range(p)]
-            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-            return (o_tilde, m, l, k_nxt, v_nxt), None
-
-        b, h, lq, e = q.shape
-        # mark initial carries as device-varying over the ring axis (shard_map
-        # vma typing: the loop outputs vary across 'sp', so inputs must too)
-        o_tilde = jax.lax.pcast(jnp.zeros((b, h, lq, e), jnp.float32),
-                                (axis_name,), to='varying')
-        m = jax.lax.pcast(jnp.full((b, h, lq), NEG_INF, jnp.float32),
-                          (axis_name,), to='varying')
-        l = jax.lax.pcast(jnp.zeros((b, h, lq), jnp.float32),
-                          (axis_name,), to='varying')
-        (o_tilde, m, l, _, _), _ = jax.lax.scan(
-            step, (o_tilde, m, l, k, v), jnp.arange(p))
-
-        # final normalization — the +n enters exactly once, here, in the
-        # same numeraire as the running max: denom = l + n * exp(-m)
-        n_term = softmax_n_param * jnp.exp(jnp.minimum(-m, 80.0))
-        denom = l + n_term
-        safe = jnp.where(denom == 0.0, 1.0, denom)
-        empty = l == 0.0
-        out = jnp.where(empty[..., None] & (softmax_n_param > 0),
-                        0.0, o_tilde / safe[..., None])
-        return out.astype(q.dtype)
-
+    cfg = (axis_name, float(scale), float(softmax_n_param), bool(is_causal))
     spec = P(None, None, axis_name, None)
     # only the ring axis goes manual; any other mesh axes (data/model in a
     # combined TP x DP x SP train step) stay under GSPMD control, so batch
     # and head shardings pass through untouched instead of being gathered
     return shard_map(
-        local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        functools.partial(_ring_local, cfg), mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
         axis_names=frozenset({axis_name}),
     )(q, k, v)
