@@ -110,6 +110,10 @@ def _shard_mapped_fused(fused, mesh, batch_axis, head_axis, q4, k4, v4, bias):
                       h_ax if bias.shape[1] != 1 else None, None, None)
         args.append(bias)
         in_specs.append(bias_spec)
+        # NOTE: the cotangent of a bias replicated over manual axes is
+        # psummed by shard_map's transpose itself (verified by the meshed
+        # grad test — adding an explicit psum double-counts by the shard
+        # count), even under check_vma=False on this JAX version.
         fn = lambda q, k, v, bb: fused(q, k, v, bb)
     else:
         fn = lambda q, k, v: fused(q, k, v, None)

@@ -180,6 +180,36 @@ class TestMeshedFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
+    def test_meshed_pallas_grads_match(self):
+        # grads through the shard_mapped kernel — incl. the cotangent of a
+        # (1,1,L,S) bias replicated over BOTH manual axes, which needs an
+        # explicit psum under check_vma=False
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        mesh = make_mesh({"data": 2, "model": 4})
+        b, h, l, e = 2, 4, 32, 16
+        ks = jax.random.split(jax.random.PRNGKey(3), 5)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks[:3])
+        bias = 0.3 * jax.random.normal(ks[3], (1, 1, l, l))
+        ct = jax.random.normal(ks[4], (b, h, l, e))
+
+        def loss(mesh_):
+            def f(q, k, v, bias):
+                out = flash_attention_n(
+                    q, k, v, softmax_n_param=1.0, attn_bias=bias,
+                    is_causal=True, implementation="pallas", mesh=mesh_)
+                return jnp.sum(out * ct)
+            return f
+
+        want = jax.grad(loss(None), argnums=(0, 1, 2, 3))(q, k, v, bias)
+        got = jax.jit(jax.grad(loss(mesh), argnums=(0, 1, 2, 3)))(
+            q, k, v, bias)
+        for g, w, name in zip(got, want, ["dq", "dk", "dv", "dbias"]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-4, err_msg=name)
+
     def test_indivisible_heads_rejected(self):
         require_devices(8)
         from flash_attention_softmax_n_tpu.ops.flash_attention import (
