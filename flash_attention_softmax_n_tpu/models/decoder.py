@@ -247,6 +247,7 @@ def decoder_forward(
     collect_taps: bool = False,
     sp_mesh=None,
     sp_axis: str = "sp",
+    tp_mesh=None,
 ) -> Any:
     """Full-sequence causal forward: tokens (B, L) -> logits (B, L, V).
 
@@ -258,6 +259,13 @@ def decoder_forward(
     with K/V blocks rotating over ICI while everything outside attention
     stays ordinary GSPMD (sequence-sharded activations partition the
     elementwise/matmul ops for free; only attention mixes positions).
+
+    ``tp_mesh``: tensor/data-parallel training with the fused Pallas
+    attention — the kernel is shard_mapped over (batch='data',
+    heads='model') since GSPMD cannot partition a pallas_call itself
+    (same mechanism as the engine's meshed prefill). Ignored when
+    ``sp_mesh`` is set (the ring path partitions via its own shard_map)
+    or when attention resolves to the XLA implementation.
     """
     b, l = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
@@ -284,6 +292,7 @@ def decoder_forward(
             softmax_n_param=cfg.softmax_n,
             is_causal=True,
             implementation=cfg.attn_implementation,
+            mesh=tp_mesh,
         )
         return ctx, None
 

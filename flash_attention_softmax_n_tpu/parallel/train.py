@@ -33,14 +33,15 @@ __all__ = ["causal_lm_loss", "make_train_step", "TrainState"]
 
 def causal_lm_loss(params: Dict, cfg: DecoderConfig,
                    tokens: jax.Array, *, sp_mesh=None,
-                   sp_axis: str = "sp") -> jax.Array:
+                   sp_axis: str = "sp", tp_mesh=None) -> jax.Array:
     """Next-token cross-entropy over (B, L) tokens (shift-by-one).
 
     ``sp_mesh``/``sp_axis``: run attention sequence-parallel (ring
-    attention over the mesh axis) — see decoder_forward.
+    attention over the mesh axis); ``tp_mesh``: shard_map the fused
+    Pallas attention over (data, model) — see decoder_forward.
     """
     logits = decoder_forward(params, cfg, tokens, sp_mesh=sp_mesh,
-                             sp_axis=sp_axis)  # (B, L, V)
+                             sp_axis=sp_axis, tp_mesh=tp_mesh)  # (B, L, V)
     targets = tokens[:, 1:]
     logits = logits[:, :-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -94,7 +95,10 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         loss, grads = jax.value_and_grad(causal_lm_loss)(
             params, cfg, tokens,
             sp_mesh=mesh if sp_axis is not None else None,
-            sp_axis=sp_axis or "sp")
+            sp_axis=sp_axis or "sp",
+            # non-SP: partition the fused Pallas attention (if selected)
+            # over (data, model) — GSPMD can't split a pallas_call
+            tp_mesh=mesh if sp_axis is None else None)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

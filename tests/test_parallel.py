@@ -300,6 +300,24 @@ class TestTrainStep:
         _, _, loss = step(sharded_params, opt_state, tokens)
         np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
 
+    def test_pallas_attention_train_step_matches(self):
+        # TP x DP training with the FUSED kernel: GSPMD can't partition a
+        # pallas_call, so the train step shard_maps it over (data, model);
+        # loss and descent must match the unsharded XLA forward
+        require_devices(8)
+        cfg = dataclasses.replace(TINY, attn_implementation="auto")
+        mesh = make_mesh({"data": 2, "model": 4})
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+        ref_loss = float(causal_lm_loss(params, TINY, tokens))
+
+        init, step = make_train_step(cfg, mesh, learning_rate=1e-2)
+        sharded_params, opt_state = init(params)
+        p1, o1, loss = step(sharded_params, opt_state, tokens)
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+        _, _, loss2 = step(p1, o1, tokens)
+        assert float(loss2) < float(loss)
+
     def test_sp_train_step_matches_unsharded(self):
         # TP x DP x SP: sequence sharded over 'sp', attention via ring —
         # the full combined-axes train step must reproduce the unsharded
