@@ -395,7 +395,10 @@ def bench_prefill_sol(cfg, *, batch=2, seq=2048, heads=None, head_dim=None,
 
 
 def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
-                        loop_steps=32):
+                        loop_steps=64):
+    # loop_steps is now a CEILING: the engine's budget-adaptive chunker
+    # picks the power-of-two chunk (8..loop_steps) maximizing useful
+    # tokens per step, so a higher ceiling only adds headroom
     """End-to-end host-engine serving under churn: a queue of requests with
     mixed budgets admitted continuously into a fixed slot pool, decoded in
     fused chunks. Measures the WHOLE stack (admission + scheduling + decode
