@@ -172,6 +172,7 @@ def xlnet_forward(
     target_mapping: Optional[jax.Array] = None,
     mems: Optional[jax.Array] = None,
     use_mems: bool = False,
+    collect_taps: bool = False,
 ) -> Dict:
     """HF-XLNetModel-compatible forward (eval mode, batch-first API).
 
@@ -308,9 +309,9 @@ def xlnet_forward(
 
         q_head_h = jnp.einsum("ibh,hnd->ibnd", h, lp["q"])
         attn_vec_h = core(q_head_h, non_tgt_mask)
-        h = _post_attention(cfg, h, attn_vec_h, lp["o"],
-                            lp["attn_ln_scale"], lp["attn_ln_bias"])
-        h = _ff(cfg, h, lp)
+        h_attn = _post_attention(cfg, h, attn_vec_h, lp["o"],
+                                 lp["attn_ln_scale"], lp["attn_ln_bias"])
+        h = _ff(cfg, h_attn, lp)
 
         if g is not None:
             q_head_g = jnp.einsum("ibh,hnd->ibnd", g, lp["q"])
@@ -325,13 +326,21 @@ def xlnet_forward(
             g = _post_attention(cfg, g, attn_vec_g, lp["o"],
                                 lp["attn_ln_scale"], lp["attn_ln_bias"])
             g = _ff(cfg, g, lp)
-        return (h, g), new_mem
+        return (h, g), (new_mem, h_attn if collect_taps else 0)
 
-    (output_h, output_g), new_mems = jax.lax.scan(
+    (output_h, output_g), (new_mems, tap_stack) = jax.lax.scan(
         body, (output_h, output_g), (params["layers"], mems_stack))
 
     output = output_g if output_g is not None else output_h
-    return {
+    result = {
         "last_hidden_state": jnp.transpose(output, (1, 0, 2)),
         "mems": new_mems if use_mems else None,
     }
+    if collect_taps:
+        # content-stream post-attention output (o-proj + residual + LN —
+        # HF's rel_attn output), batch-first for the analysis collector
+        taps = {f"layer.{i}.rel_attn.output":
+                jnp.transpose(tap_stack[i], (1, 0, 2))
+                for i in range(cfg.n_layers)}
+        return result, taps
+    return result

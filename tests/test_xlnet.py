@@ -245,3 +245,29 @@ class TestXLNetSurgery:
 
         new_cfg, _ = apply_attention_softmax_n((SomeXLNetConfig(), {}), 2.0)
         assert new_cfg.softmax_n == 2.0
+
+
+class TestXLNetTaps:
+    def test_collect_taps_for_analysis(self):
+        # the analysis collector needs per-layer attention-output taps —
+        # same surface as bert_forward/decoder_forward
+        import jax
+        import jax.numpy as jnp
+
+        from flash_attention_softmax_n_tpu.models.xlnet import (
+            XLNetConfig,
+            init_xlnet_params,
+            xlnet_forward,
+        )
+
+        cfg = XLNetConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
+                          d_head=16, d_inner=64)
+        params = init_xlnet_params(cfg, jax.random.PRNGKey(0))
+        ids = jnp.asarray([[3, 1, 4, 1, 5, 9]], jnp.int32)
+        out, taps = xlnet_forward(params, cfg, ids, collect_taps=True)
+        assert set(taps) == {f"layer.{i}.rel_attn.output" for i in range(2)}
+        assert taps["layer.0.rel_attn.output"].shape == (1, 6, 32)
+        # taps must not disturb the forward
+        plain = xlnet_forward(params, cfg, ids)
+        assert bool(jnp.allclose(out["last_hidden_state"],
+                                 plain["last_hidden_state"]))
