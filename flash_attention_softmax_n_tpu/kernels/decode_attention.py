@@ -337,7 +337,12 @@ def decode_attention_n(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if int8_compute is None:
-        int8_compute = quantized and k_values.dtype == jnp.int8
+        # default OFF even for int8 caches: the v5e MXU probe (bench.py,
+        # CLAUDE.md) measured int8 x int8 dots SLOWER than bf16 under
+        # Mosaic, while the int8->bf16 cast fused into a dot is ~free —
+        # integer math saves nothing here. Opt in explicitly for chips
+        # where the probe says otherwise.
+        int8_compute = False
     if int8_compute and (not quantized or k_values.dtype != jnp.int8):
         raise ValueError("int8_compute requires an int8-quantized cache")
 
