@@ -467,6 +467,40 @@ class TestMeshedInferenceEngine:
         out = run(make_mesh({"data": 2, "model": 4}))
         assert out == ref
 
+    def test_engine_on_mesh_fused_argmax_matches(self):
+        # int8 lm_head + divisible vocab: the meshed fused loop samples
+        # via the cross-shard argmax merge (_sharded_lm_head_argmax) and
+        # must be token-identical to the single-device fused argmax
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.engine import InferenceEngine
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            _greedy_fusable,
+        )
+        from flash_attention_softmax_n_tpu.models import init_decoder_params
+        from flash_attention_softmax_n_tpu.quant import (
+            quantize_decoder_weights,
+        )
+
+        cfg = dataclasses.replace(TINY, vocab_size=96, n_heads=8,
+                                  n_kv_heads=4)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_weights(params, bits=8)
+        mesh = make_mesh({"data": 2, "model": 4})
+        assert _greedy_fusable(qparams, cfg, mesh, 4)
+        prompts = [[3, 1, 4, 1], [9, 2], [5, 3, 5], [2, 7, 1, 8]]
+
+        def run(mesh_):
+            eng = InferenceEngine(cfg, qparams, max_batch=4, max_len=64,
+                                  mesh=mesh_)
+            for p in prompts:
+                eng.submit(p, max_new_tokens=6)
+            done = eng.run_until_done(loop_steps=8)
+            return {r.request_id: r.output for r in done}
+
+        ref = run(None)
+        out = run(mesh)
+        assert out == ref
+
     def test_engine_on_mesh_pallas_prefill_matches(self):
         # same invariant with the auto (Pallas, interpreted on CPU)
         # attention: the meshed prefill runs the shard_mapped kernel
