@@ -194,6 +194,122 @@ def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     return logits[:, 0], cache
 
 
+def engine_prefill_chunk(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
+                         true_lens: jax.Array, slots: jax.Array,
+                         cache: Dict, *, offset: int,
+                         mesh=None) -> Tuple[jax.Array, Dict]:
+    """Continuation prefill: write a (nb, C) chunk at column ``offset``.
+
+    Chunked prefill (vLLM-style) for prompts longer than the admission
+    chunk: each chunk attends the slots' CACHED prefix rows [0, offset)
+    plus itself (causal within the chunk, offset positions/RoPE), so a
+    long prompt becomes ceil(len/C) bounded dispatches instead of one
+    max_len-sized forward — admission latency is capped and decode chunks
+    interleave between prompt chunks. Quantized caches dequantize the
+    gathered prefix blockwise (bf16 attention over [0, offset) — strictly
+    more accurate than the quantize-then-read decode path).
+
+    Only the final chunk's logits are meaningful (taken at each row's last
+    true token, clamped into this chunk). ``offset`` is static: the engine
+    compiles at most max_len/C variants, reached only by long traffic.
+    """
+    nb, c = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
+    positions = offset + jnp.arange(c)
+    quantized = isinstance(cache["k"], QTensor)
+    reps = cfg.n_heads // cfg.n_kv_heads
+
+    # gather each admitted slot's prefix rows once (nl, nb, KVH, off, hd)
+    if offset > 0:
+        if quantized:
+            pk = (cache["k"].values[:, slots, :, :offset].astype(jnp.float32)
+                  * cache["k"].scales[:, slots, :, :offset]).astype(cfg.dtype)
+            pv = (cache["v"].values[:, slots, :, :offset].astype(jnp.float32)
+                  * cache["v"].scales[:, slots, :, :offset]).astype(cfg.dtype)
+        else:
+            pk = cache["k"][:, slots, :, :offset]
+            pv = cache["v"][:, slots, :, :offset]
+    else:
+        nl = cfg.n_layers
+        pk = jnp.zeros((nl, nb, cfg.n_kv_heads, 0, cfg.head_dim), cfg.dtype)
+        pv = pk
+
+    s_total = offset + c
+    # prefix keys are always valid (a chunk is only dispatched when
+    # true_len > offset); chunk key j is valid iff offset+j < true_len AND
+    # causally j <= i for query row i
+    key_pos = jnp.arange(s_total)
+    valid = key_pos[None, None, :] < true_lens[:, None, None]  # (nb,1,S)
+    causal = key_pos[None, :] <= (offset + jnp.arange(c))[:, None]  # (C,S)
+    mask = jnp.logical_and(valid, causal[None])[:, None]  # (nb,1,C,S)
+
+    def attn_factory(store):
+        def attn(q, k, v):
+            q = apply_rope(q, cos, sin, positions)
+            k = apply_rope(k, cos, sin, positions)
+            store["k"], store["v"] = k, v
+            kf = _repeat_kv(jnp.concatenate([store.pop("pk"), k], axis=2),
+                            reps)
+            vf = _repeat_kv(jnp.concatenate([store.pop("pv"), v], axis=2),
+                            reps)
+            ctx = flash_attention_n(
+                q, kf, vf, softmax_n_param=cfg.softmax_n, attn_mask=mask,
+                implementation=("xla" if cfg.attn_implementation == "xla"
+                                else "auto"),
+                mesh=mesh,
+            )
+            return ctx, None
+        return attn
+
+    def body(x, xs):
+        lp, pk_l, pv_l = xs
+        store = {"pk": pk_l, "pv": pv_l}
+        x, _, _ = _layer(cfg, (cos, sin), x, lp, attn_factory(store))
+        return x, (store["k"], store["v"])
+
+    x, (k_stack, v_stack) = jax.lax.scan(body, x, (params["layers"], pk, pv))
+
+    cache = dict(cache)
+
+    def write_layer(cache_kv, new_stack):
+        if isinstance(cache_kv, QTensor):
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                quantize_kv,
+            )
+            bits = 8 if cache_kv.bits == 8 else -8
+            values, scales = quantize_kv(new_stack, bits)
+            vals_out, scls_out = cache_kv.values, cache_kv.scales
+            for i in range(nb):
+                idx = (0, slots[i], 0, offset, 0)
+                vals_out = jax.lax.dynamic_update_slice(
+                    vals_out, values[:, i][:, None].astype(vals_out.dtype),
+                    idx)
+                scls_out = jax.lax.dynamic_update_slice(
+                    scls_out, scales[:, i][:, None], idx)
+            return QTensor(vals_out, scls_out, bits=cache_kv.bits)
+        out = cache_kv
+        for i in range(nb):
+            out = jax.lax.dynamic_update_slice(
+                out, new_stack[:, i][:, None].astype(out.dtype),
+                (0, slots[i], 0, offset, 0))
+        return out
+
+    cache["k"] = write_layer(cache["k"], k_stack)
+    cache["v"] = write_layer(cache["v"], v_stack)
+    cache["lengths"] = cache["lengths"].at[slots].set(
+        jnp.minimum(true_lens, offset + c))
+
+    # logits at each row's last true token WITHIN this chunk (meaningful
+    # on the final chunk only)
+    last = jnp.clip(true_lens - offset - 1, 0, c - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)
+    x_last = rms_norm(x_last, params["final_norm"], cfg.norm_eps)
+    logits = _mm(x_last, params["lm_head"], cfg.act_bits,
+                 cfg.int8_mm_impl).astype(jnp.float32)
+    return logits[:, 0], cache
+
+
 def engine_prefill(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                    true_len: jax.Array, slot: jax.Array,
                    cache: Dict) -> Tuple[jax.Array, Dict]:
@@ -640,17 +756,24 @@ class InferenceEngine:
     def __init__(self, cfg: DecoderConfig, params: Dict, *,
                  max_batch: int = 8, max_len: Optional[int] = None,
                  kv_quantization: Optional[str] = None,
-                 pad_token: int = 0, mesh=None):
+                 pad_token: int = 0, mesh=None,
+                 prefill_chunk: int = 256):
         """``mesh``: a jax Mesh with 'data' and 'model' axes — the engine
         then serves tensor/data-parallel (weights Megatron-sharded, slots +
         cache on 'data'; see parallel/serving.py). max_batch must divide by
-        the data-axis size and n_kv_heads by the model-axis size."""
+        the data-axis size and n_kv_heads by the model-axis size.
+
+        ``prefill_chunk``: prompts longer than this admit via CHUNKED
+        prefill (engine_prefill_chunk) — bounded per-dispatch admission
+        work instead of one max_len-sized forward; at most
+        max_len/prefill_chunk compiled continuation shapes."""
         self.cfg = cfg
         self.mesh = mesh
         self.params = params
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq_len
         self.pad_token = pad_token
+        self._CHUNK = prefill_chunk
         self._id_gen = itertools.count()
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -972,10 +1095,21 @@ class InferenceEngine:
             return []
         # ONE pass partitions the queue by prompt bucket (cross-bucket
         # reordering within an admission round is standard continuous
-        # batching); FIFO preserved within a bucket and across rounds
+        # batching); FIFO preserved within a bucket and across rounds.
+        # Prompts longer than the chunk size go to the CHUNKED prefill
+        # lane instead of a monolithic max_len-bucket forward.
         by_bucket: Dict[int, deque] = {}
         order: List[int] = []
+        long_reqs: List[Request] = []
+        cc = self._CHUNK
         for req in self.queue:
+            if (len(req.prompt) > cc
+                    and -(-len(req.prompt) // cc) * cc <= self.max_len):
+                # chunk-padded length must fit the cache extent; prompts
+                # within one chunk of max_len keep the bucket lane (whose
+                # bucket clamp handles them)
+                long_reqs.append(req)
+                continue
             # clamp the pad bucket so a near-max_len prompt can't round up
             # past the cache extent (max_len=100, prompt=90 -> bucket 128
             # would fail the cache dynamic_update_slice at trace time)
@@ -1033,11 +1167,47 @@ class InferenceEngine:
                 self._lengths_host[i] = len(req.prompt)
                 self._slot_budget[i] = req.max_new_tokens - 1
             pending.append((group, toks))
+        # chunked lane: long prompts stream through ceil(len/C) bounded
+        # continuation prefills (engine_prefill_chunk), all dispatched
+        # async — each chunk chains on the donated cache
+        for req in long_reqs:
+            if not free:
+                break
+            admitted.add(id(req))
+            slot = free.pop(0)
+            n_chunks = -(-len(req.prompt) // cc)
+            padded = req.prompt + [self.pad_token] * (n_chunks * cc
+                                                      - len(req.prompt))
+            true_len = jnp.asarray([len(req.prompt)], jnp.int32)
+            slot_arr = jnp.asarray([slot], jnp.int32)
+            logits = None
+            for ci in range(n_chunks):
+                toks_c = jnp.asarray([padded[ci * cc:(ci + 1) * cc]],
+                                     jnp.int32)
+                logits, self.cache = self._prefill_chunk(ci * cc)(
+                    params=self.params, tokens=toks_c, true_lens=true_len,
+                    slots=slot_arr, cache=self.cache)
+            tok = self._sample(logits, [req])
+            self._next_token = self._next_token.at[slot_arr].set(tok)
+            self.slots[slot] = req
+            self._lengths_host[slot] = len(req.prompt)
+            self._slot_budget[slot] = req.max_new_tokens - 1
+            pending.append(([(slot, req)], tok))
         if admitted:
             # one O(queue) rebuild preserves global FIFO for what's left
             self.queue = deque(r for r in self.queue
                                if id(r) not in admitted)
         return pending
+
+    def _prefill_chunk(self, offset: int):
+        if not hasattr(self, "_prefill_chunks"):
+            self._prefill_chunks = {}
+        if offset not in self._prefill_chunks:
+            self._prefill_chunks[offset] = jax.jit(
+                partial(engine_prefill_chunk, cfg=self.cfg, offset=offset,
+                        mesh=self.mesh),
+                donate_argnames=("cache",))
+        return self._prefill_chunks[offset]
 
     def _finalize_admission(
             self, pending: List[Tuple[List[Tuple[int, Request]],
