@@ -501,6 +501,31 @@ class TestMeshedInferenceEngine:
         out = run(mesh)
         assert out == ref
 
+    def test_engine_on_mesh_chunked_prefill_matches(self):
+        # long prompts through the chunked lane under TP x DP: the
+        # continuation prefill gathers data-sharded cache prefixes (nb=1
+        # forces the auto dispatch to the GSPMD XLA path)
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.engine import InferenceEngine
+        from flash_attention_softmax_n_tpu.models import init_decoder_params
+
+        cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(2)
+        prompts = [rng.randint(0, 97, size=n).tolist() for n in (40, 20)]
+
+        def run(mesh_):
+            eng = InferenceEngine(cfg, params, max_batch=2, max_len=64,
+                                  mesh=mesh_, prefill_chunk=16)
+            for p in prompts:
+                eng.submit(p, max_new_tokens=5)
+            done = eng.run_until_done(loop_steps=8)
+            return {r.request_id: r.output for r in done}
+
+        ref = run(None)
+        out = run(make_mesh({"data": 2, "model": 4}))
+        assert out == ref
+
     def test_engine_on_mesh_pallas_prefill_matches(self):
         # same invariant with the auto (Pallas, interpreted on CPU)
         # attention: the meshed prefill runs the shard_mapped kernel
