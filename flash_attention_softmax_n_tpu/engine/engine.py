@@ -95,7 +95,7 @@ def _attention_over_slots(cfg: DecoderConfig, q, k_cache, v_cache, lengths,
     )
 
     quantized = isinstance(k_cache, QTensor)
-    impl = getattr(cfg, "decode_attn_impl", "xla")
+    impl = cfg.decode_attn_impl
     kwargs = dict(
         softmax_n_param=cfg.softmax_n, scale=cfg.head_dim ** -0.5,
         k_new=k_new, v_new=v_new, k_tail=k_tail, v_tail=v_tail,
@@ -122,76 +122,12 @@ def engine_prefill_batch(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     shard_mapped over (batch='data', heads='model') instead of forcing the
     O(L^2)-materializing XLA attention (heads are data-independent, so the
     kernel partitions cleanly; see ops/flash_attention._shard_mapped_fused).
+
+    Exactly the ``offset=0`` case of ``engine_prefill_chunk`` (the
+    zero-width prefix gather/concat is elided by XLA).
     """
-    nb, lb = tokens.shape
-    x = params["embed"][tokens].astype(cfg.dtype)
-    cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
-    positions = jnp.arange(lb)
-
-    # attention mask per row: causal AND key < true_len
-    key_valid = (jnp.arange(lb)[None, None, :]
-                 < true_lens[:, None, None])  # (nb, 1, Lb)
-    mask = jnp.logical_and(jnp.tril(jnp.ones((lb, lb), bool))[None],
-                           key_valid)[:, None]  # (nb, 1, Lb, Lb)
-
-    def attn_factory(store):
-        def attn(q, k, v):
-            q = apply_rope(q, cos, sin, positions)
-            k = apply_rope(k, cos, sin, positions)
-            store["k"], store["v"] = k, v
-            kf = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
-            vf = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
-            ctx = flash_attention_n(
-                q, kf, vf, softmax_n_param=cfg.softmax_n, attn_mask=mask,
-                implementation=("xla" if cfg.attn_implementation == "xla"
-                                else "auto"),
-                mesh=mesh,
-            )
-            return ctx, None
-        return attn
-
-    def body(x, lp):
-        store = {}
-        x, _, _ = _layer(cfg, (cos, sin), x, lp, attn_factory(store))
-        return x, (store["k"], store["v"])
-
-    x, (k_stack, v_stack) = jax.lax.scan(body, x, params["layers"])
-    # k_stack/v_stack: (nl, nb, KVH, Lb, hd)
-
-    cache = dict(cache)
-
-    def write_layer(cache_kv, new_stack):
-        if isinstance(cache_kv, QTensor):
-            from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
-            bits = 8 if cache_kv.bits == 8 else -8
-            values, scales = quantize_kv(new_stack, bits)
-            vals_out, scls_out = cache_kv.values, cache_kv.scales
-            for i in range(nb):  # nb is static; chained in-place DUS
-                idx = (0, slots[i], 0, 0, 0)
-                vals_out = jax.lax.dynamic_update_slice(
-                    vals_out, values[:, i][:, None].astype(vals_out.dtype),
-                    idx)
-                scls_out = jax.lax.dynamic_update_slice(
-                    scls_out, scales[:, i][:, None], idx)
-            return QTensor(vals_out, scls_out, bits=cache_kv.bits)
-        out = cache_kv
-        for i in range(nb):
-            out = jax.lax.dynamic_update_slice(
-                out, new_stack[:, i][:, None].astype(out.dtype),
-                (0, slots[i], 0, 0, 0))
-        return out
-
-    cache["k"] = write_layer(cache["k"], k_stack)
-    cache["v"] = write_layer(cache["v"], v_stack)
-    cache["lengths"] = cache["lengths"].at[slots].set(true_lens)
-
-    # logits at each row's last true token
-    x_last = jnp.take_along_axis(
-        x, jnp.maximum(true_lens - 1, 0)[:, None, None], axis=1)  # (nb,1,D)
-    x_last = rms_norm(x_last, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x_last, params["lm_head"], cfg.act_bits,
-                 cfg.int8_mm_impl).astype(jnp.float32)
-    return logits[:, 0], cache
+    return engine_prefill_chunk(params, cfg, tokens, true_lens, slots,
+                                cache, offset=0, mesh=mesh)
 
 
 def engine_prefill_chunk(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
@@ -999,20 +935,9 @@ class InferenceEngine:
         # per-slot sampling settings are DATA (B,) arrays, so mixed batches
         # share the executable; all-greedy passes None to keep the fused
         # argmax lm_head (a distinct pytree structure -> jit specializes)
-        sample_kw = {}
-        temps = [r.temperature if r is not None else 0.0 for r in self.slots]
-        if any(t > 0 for t in temps):
-            self._rng, sub = jax.random.split(self._rng)
-            sample_kw["temps"] = jnp.asarray(temps, jnp.float32)
-            sample_kw["rng"] = sub
-            if any(r is not None and r.temperature > 0
-                   and (r.top_k > 0 or r.top_p < 1.0) for r in self.slots):
-                sample_kw["top_k"] = jnp.asarray(
-                    [r.top_k if r is not None else 0 for r in self.slots],
-                    jnp.int32)
-                sample_kw["top_p"] = jnp.asarray(
-                    [r.top_p if r is not None else 1.0 for r in self.slots],
-                    jnp.float32)
+        sample_kw = self._sampling_arrays(self.slots) or {}
+        if sample_kw:
+            self._rng, sample_kw["rng"] = jax.random.split(self._rng)
         toks, self.cache, _ = self._loops[key](
             params=self.params, tokens=self._next_token, cache=self.cache,
             active=active, **sample_kw)
@@ -1233,25 +1158,31 @@ class InferenceEngine:
                     self._next_host[i] = tok
         return finished
 
+    @staticmethod
+    def _sampling_arrays(rows: List[Optional[Request]]) -> Optional[Dict]:
+        """Per-row sampling settings as (B,) arrays, or None if every row
+        is greedy. top_k/top_p only appear when some sampling row actually
+        truncates — the sort-bearing filtered path costs a vocab sort, so
+        it should only compile when needed (ops/sampling.py rationale)."""
+        temps = [r.temperature if r is not None else 0.0 for r in rows]
+        if not any(t > 0 for t in temps):
+            return None
+        kw = {"temps": jnp.asarray(temps, jnp.float32)}
+        if any(r is not None and r.temperature > 0
+               and (r.top_k > 0 or r.top_p < 1.0) for r in rows):
+            kw["top_k"] = jnp.asarray([r.top_k if r is not None else 0
+                                       for r in rows], jnp.int32)
+            kw["top_p"] = jnp.asarray([r.top_p if r is not None else 1.0
+                                       for r in rows], jnp.float32)
+        return kw
+
     def _sample(self, logits: jax.Array,
                 reqs: List[Optional[Request]]) -> jax.Array:
         """Greedy at temperature 0, else per-row temperature/top-k/top-p.
-
-        ``reqs`` holds one Request (or None = greedy) per logits row.
-        The sort-bearing filtered path only compiles when some sampling
-        row actually truncates (ops/sampling.py rationale).
-        """
-        rows = reqs[:logits.shape[0]]
-        temps = [r.temperature if r is not None else 0.0 for r in rows]
-        if not any(t > 0 for t in temps):
+        ``reqs`` holds one Request (or None = greedy) per logits row."""
+        kw = self._sampling_arrays(reqs[:logits.shape[0]])
+        if kw is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         self._rng, sub = jax.random.split(self._rng)
-        t = jnp.asarray(temps, jnp.float32)
-        if any(r is not None and r.temperature > 0
-               and (r.top_k > 0 or r.top_p < 1.0) for r in rows):
-            ks = jnp.asarray([r.top_k if r is not None else 0
-                              for r in rows], jnp.int32)
-            ps = jnp.asarray([r.top_p if r is not None else 1.0
-                              for r in rows], jnp.float32)
-            return sample_tokens(logits, sub, t, ks, ps)
-        return sample_tokens(logits, sub, t)
+        return sample_tokens(logits, sub, kw["temps"], kw.get("top_k"),
+                             kw.get("top_p"))
