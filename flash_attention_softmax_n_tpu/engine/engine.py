@@ -1094,30 +1094,48 @@ class InferenceEngine:
             pending.append((group, toks))
         # chunked lane: long prompts stream through ceil(len/C) bounded
         # continuation prefills (engine_prefill_chunk), all dispatched
-        # async — each chunk chains on the donated cache
+        # async — each chunk chains on the donated cache. Requests with
+        # the SAME chunk count group like the bucket lane (admission is
+        # weight-bound; each chunk's weight stream amortizes across the
+        # group), padded to nb with idempotent duplicate-slot rows.
+        by_chunks: Dict[int, deque] = {}
         for req in long_reqs:
-            if not free:
-                break
-            admitted.add(id(req))
-            slot = free.pop(0)
-            n_chunks = -(-len(req.prompt) // cc)
-            padded = req.prompt + [self.pad_token] * (n_chunks * cc
-                                                      - len(req.prompt))
-            true_len = jnp.asarray([len(req.prompt)], jnp.int32)
-            slot_arr = jnp.asarray([slot], jnp.int32)
-            logits = None
-            for ci in range(n_chunks):
-                toks_c = jnp.asarray([padded[ci * cc:(ci + 1) * cc]],
-                                     jnp.int32)
-                logits, self.cache = self._prefill_chunk(ci * cc)(
-                    params=self.params, tokens=toks_c, true_lens=true_len,
-                    slots=slot_arr, cache=self.cache)
-            tok = self._sample(logits, [req])
-            self._next_token = self._next_token.at[slot_arr].set(tok)
-            self.slots[slot] = req
-            self._lengths_host[slot] = len(req.prompt)
-            self._slot_budget[slot] = req.max_new_tokens - 1
-            pending.append(([(slot, req)], tok))
+            by_chunks.setdefault(-(-len(req.prompt) // cc),
+                                 deque()).append(req)
+        for n_chunks in sorted(by_chunks):
+            dq = by_chunks[n_chunks]
+            while free and dq:
+                group = []
+                while free and dq and len(group) < nb:
+                    req = dq.popleft()
+                    admitted.add(id(req))
+                    group.append((free.pop(0), req))
+                padded_group = group + [group[-1]] * (nb - len(group))
+                padded = [r.prompt + [self.pad_token] * (n_chunks * cc
+                                                         - len(r.prompt))
+                          for _, r in padded_group]
+                true_lens = jnp.asarray(
+                    [len(r.prompt) for _, r in padded_group], jnp.int32)
+                slots = jnp.asarray([i for i, _ in padded_group], jnp.int32)
+                logits = None
+                for ci in range(n_chunks):
+                    toks_c = jnp.asarray(
+                        [p[ci * cc:(ci + 1) * cc] for p in padded],
+                        jnp.int32)
+                    logits, self.cache = self._prefill_chunk(ci * cc)(
+                        params=self.params, tokens=toks_c,
+                        true_lens=true_lens, slots=slots, cache=self.cache)
+                toks = self._sample(logits, [r for _, r in padded_group])
+                scatter_slots = jnp.asarray(
+                    [i for i, _ in group]
+                    + [self.max_batch] * (nb - len(group)), jnp.int32)
+                self._next_token = self._next_token.at[scatter_slots].set(
+                    toks, mode="drop")
+                for i, req in group:
+                    self.slots[i] = req
+                    self._lengths_host[i] = len(req.prompt)
+                    self._slot_budget[i] = req.max_new_tokens - 1
+                pending.append((group, toks))
         if admitted:
             # one O(queue) rebuild preserves global FIFO for what's left
             self.queue = deque(r for r in self.queue
