@@ -275,18 +275,18 @@ def decoder_forward(
     def attn(q, k, v):
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
-        k = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
-        v = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
         if sp_mesh is not None:
             from flash_attention_softmax_n_tpu.parallel.ring_attention import (
                 ring_attention_n,
             )
+            # GQA kv stays un-repeated: the ring rotates the small heads
+            # and repeats locally per block (group-factor less ICI traffic)
             ctx = ring_attention_n(
                 q, k, v, mesh=sp_mesh, axis_name=sp_axis,
-                softmax_n_param=cfg.softmax_n, is_causal=True,
-                implementation=("pallas" if cfg.attn_implementation == "pallas"
-                                else "auto"))
+                softmax_n_param=cfg.softmax_n, is_causal=True)
             return ctx, None
+        k = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
+        v = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
         ctx = flash_attention_n(
             q, k, v,
             softmax_n_param=cfg.softmax_n,

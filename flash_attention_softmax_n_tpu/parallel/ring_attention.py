@@ -62,14 +62,28 @@ def _block_mode(is_causal: bool, p, my, t):
     return jnp.zeros((), jnp.int32)
 
 
+def _repeat_heads(x, reps):
+    """(B, KVH, S, E) -> (B, KVH*reps, S, E); identity at reps=1."""
+    if reps == 1:
+        return x
+    b, kvh, s, e = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, kvh, reps, s, e)
+                            ).reshape(b, kvh * reps, s, e)
+
+
 def _local_attention_block(q, k, v, scale, mode):
     """softmax-0 partial attention of local q against one visiting kv block.
 
     Returns (o, lse) with lse = log(sum_j exp(s_j)) (n=0 statistics).
+    GQA: k/v may carry fewer heads than q (H % KVH == 0) — the ring
+    rotates the SMALL tensors and each block repeats them locally, so
+    ppermute traffic shrinks by the group factor.
     """
+    reps = q.shape[1] // k.shape[1]
 
     def _attend(is_causal):
         def branch(q, k, v):
+            k, v = _repeat_heads(k, reps), _repeat_heads(v, reps)
             s = jnp.einsum("bhle,bhse->bhls", q, k,
                            preferred_element_type=jnp.float32) * scale
             if is_causal:
@@ -154,8 +168,19 @@ def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
     ds = p ∘ (dout·vᵀ − delta). delta = Σ dout·out is exact for
     softmax-N because the phantom key's value row is zero."""
 
+    reps = q.shape[1] // k.shape[1]
+
+    def _group_sum(g):
+        # per-q-head kv grads reduce over each kv head's query group
+        if reps == 1:
+            return g
+        b, h, s, e = g.shape
+        return jnp.sum(g.reshape(b, h // reps, reps, s, e), axis=2)
+
     def _grads(is_causal):
         def branch(q, k, v, dout, lse_n, delta):
+            k = _repeat_heads(k, reps)
+            v = _repeat_heads(v, reps)
             s = jnp.einsum("bhle,bhse->bhls", q, k,
                            preferred_element_type=jnp.float32) * scale
             if is_causal:
@@ -172,7 +197,7 @@ def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
                               k.astype(jnp.float32)) * scale
             dk_b = jnp.einsum("bhls,bhle->bhse", ds,
                               q.astype(jnp.float32)) * scale
-            return dq_b, dk_b, dv_b
+            return dq_b, _group_sum(dk_b), _group_sum(dv_b)
         return branch
 
     def _skip(q, k, v, dout, lse_n, delta):

@@ -138,6 +138,41 @@ class TestRingAttention:
             np.testing.assert_allclose(g, w, atol=2e-4,
                                        err_msg=f"d{name} n={n}")
 
+    def test_gqa_kv_heads_rotate_unrepeated(self):
+        # k/v carry fewer heads than q: the ring rotates the small tensors
+        # and repeats per block — output and grads must match the oracle
+        # over explicitly repeated kv
+        require_devices(4)
+        mesh = make_mesh({"sp": 4})
+        b, h, kvh, l, e = 1, 4, 2, 32, 16
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q = 0.5 * jax.random.normal(ks[0], (b, h, l, e))
+        k = 0.5 * jax.random.normal(ks[1], (b, kvh, l, e))
+        v = 0.5 * jax.random.normal(ks[2], (b, kvh, l, e))
+        ct = jax.random.normal(ks[3], (b, h, l, e))
+
+        def rep(x):
+            return jnp.repeat(x, h // kvh, axis=1)
+
+        def ring_loss(q, k, v):
+            out = ring_attention_n(q, k, v, mesh=mesh, axis_name="sp",
+                                   softmax_n_param=1.0, is_causal=True)
+            return jnp.sum(out * ct), out
+
+        def oracle_loss(q, k, v):
+            out = slow_attention_n(q, rep(k), rep(v), softmax_n_param=1.0,
+                                   is_causal=True)
+            return jnp.sum(out * ct), out
+
+        (_, out), got = jax.jit(jax.value_and_grad(
+            ring_loss, argnums=(0, 1, 2), has_aux=True))(q, k, v)
+        (_, want_out), want = jax.value_and_grad(
+            oracle_loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        np.testing.assert_allclose(out, want_out, atol=2e-4)
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(g, w, atol=2e-4,
+                                       err_msg=f"d{name} (gqa)")
+
     def test_plus_n_applied_once(self):
         # analytic check: constant inputs, unmasked — denominator must be
         # n + S (not n*p + S, which a per-shard +n bug would produce)
