@@ -8,10 +8,14 @@ hosts"): a slot-based serving engine with TPU-friendly static shapes —
   * per-slot lengths/active masks as device vectors (no shape changes,
     no recompilation as requests come and go);
   * admission by BATCHED prefill (same-bucket requests share one weight
-    stream; compiled per (group-size, bucket)), decode as one batched step
-    — or as fused multi-step on-device chunks between scheduling points
-    (run_until_done(loop_steps=N), the serving fast path);
-  * greedy or temperature sampling, EOS + max-token termination;
+    stream, long prompts stream through CHUNKED continuation prefills;
+    dispatch-only — the host syncs once per scheduling round, after the
+    decode work is already in flight), decode as one batched step — or as
+    fused multi-step on-device chunks between scheduling points
+    (run_until_done(loop_steps=N), the serving fast path) with budget-
+    adaptive chunk lengths;
+  * per-slot greedy / temperature / top-k / top-p sampling as (B,) data
+    (mixed batches share one executable), EOS + max-token termination;
   * tensor/data-parallel serving over a mesh via parallel/serving.py (the
     cache shards over 'data' slots x 'model' heads).
 

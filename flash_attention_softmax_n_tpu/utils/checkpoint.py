@@ -25,11 +25,13 @@ import numpy as np
 
 from flash_attention_softmax_n_tpu.models.bert import BertConfig
 from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig
+from flash_attention_softmax_n_tpu.models.xlnet import XLNetConfig
 from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
 __all__ = ["save_checkpoint", "load_checkpoint"]
 
-_CONFIG_TYPES = {"DecoderConfig": DecoderConfig, "BertConfig": BertConfig}
+_CONFIG_TYPES = {"DecoderConfig": DecoderConfig, "BertConfig": BertConfig,
+                 "XLNetConfig": XLNetConfig}
 
 
 def _config_to_json(config) -> Dict[str, Any]:

@@ -85,3 +85,45 @@ class TestRoofline:
     def test_percent_of_sol(self):
         r = attention_roofline(1, 1, 1024, 1024, 128)
         assert abs(r["percent_of_sol"](r["sol_time"]) - 100.0) < 1e-6
+
+
+class TestCheckpointModelFamilies:
+    """Round-trips for the non-decoder param families (generic pytree I/O
+    must cover every model the framework ships)."""
+
+    def test_roundtrip_bert_decoder_mode(self, tmp_path):
+        from flash_attention_softmax_n_tpu.models.bert import (
+            BertConfig,
+            bert_forward,
+            init_bert_params,
+        )
+        cfg = BertConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=4,
+                         d_ff=64, max_position_embeddings=32,
+                         is_decoder=True, add_cross_attention=True)
+        params = init_bert_params(cfg, jax.random.PRNGKey(0))
+        save_checkpoint(tmp_path / "bert", cfg, params)
+        cfg2, restored, _ = load_checkpoint(tmp_path / "bert")
+        assert cfg2 == cfg
+        ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+        enc = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 32))
+        a = bert_forward(params, cfg, ids, encoder_hidden_states=enc)
+        b = bert_forward(restored, cfg2, ids, encoder_hidden_states=enc)
+        np.testing.assert_allclose(a["last_hidden_state"],
+                                   b["last_hidden_state"], atol=1e-6)
+
+    def test_roundtrip_xlnet(self, tmp_path):
+        from flash_attention_softmax_n_tpu.models.xlnet import (
+            XLNetConfig,
+            init_xlnet_params,
+            xlnet_forward,
+        )
+        cfg = XLNetConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
+                          d_head=16, d_inner=64)
+        params = init_xlnet_params(cfg, jax.random.PRNGKey(0))
+        save_checkpoint(tmp_path / "xlnet", cfg, params)
+        cfg2, restored, _ = load_checkpoint(tmp_path / "xlnet")
+        assert cfg2 == cfg
+        ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+        a = xlnet_forward(params, cfg, ids)["last_hidden_state"]
+        b = xlnet_forward(restored, cfg2, ids)["last_hidden_state"]
+        np.testing.assert_allclose(a, b, atol=1e-6)
