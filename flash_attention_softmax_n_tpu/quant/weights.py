@@ -54,6 +54,9 @@ def fuse_decoder_projections(params: Dict) -> Dict:
 
 BERT_MATMUL_WEIGHTS = (
     "q_w", "k_w", "v_w", "attn_out_w", "inter_w", "out_w",
+    # decoder-mode cross-attention projections (present only when
+    # cfg.add_cross_attention; absent keys are simply not matched)
+    "cross_q_w", "cross_k_w", "cross_v_w", "cross_out_w",
 )
 
 
