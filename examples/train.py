@@ -48,6 +48,10 @@ def main():
     n = len(jax.devices())
     sp = 2 if args.sp else 1
     tp = args.model_parallel or max(1, n // (2 * sp))
+    if tp * sp > n:
+        ap.error(f"need at least {tp * sp} devices for model_parallel={tp}"
+                 f"{' x sp=2' if args.sp else ''}, have {n} — on CPU set "
+                 "XLA_FLAGS=--xla_force_host_platform_device_count=8")
     dp = n // (tp * sp)
     axes = {"data": dp, "model": tp}
     if args.sp:

@@ -1056,35 +1056,22 @@ class InferenceEngine:
             dp = self.mesh.shape.get("data", 1)
             nb = min(self.max_batch, -(-nb // dp) * dp)
         pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
-        while free and any(by_bucket.values()):
-            bucket = next(b for b in order if by_bucket[b])
-            group: List[Tuple[int, Request]] = []
-            while free and by_bucket[bucket] and len(group) < nb:
-                req = by_bucket[bucket].popleft()
-                admitted.add(id(req))
-                group.append((free.pop(0), req))
-            assert group
-            # ALWAYS pad to the full group size: duplicate-slot prefills
-            # are idempotent, and one compiled shape per prompt bucket
-            # beats per-(group-size, bucket) executables (churn serving
-            # kept hitting cold shapes)
+
+        def admit_group(group, nb, prefill_fn):
+            """Shared tail of both lanes: pad the group to nb (duplicate
+            slot writes are idempotent — one compiled shape per bucket),
+            dispatch the lane's prefill(s), sample ALL padded rows (fixed
+            (nb,) shape) and push the first tokens straight into the
+            decode input on device. Padding rows may SAMPLE a different
+            token than their original row (independent per-row draws) and
+            duplicate-index scatter order is undefined, so they scatter to
+            an out-of-range index and drop; only row j feeds slot
+            group[j], exactly the rows bookkeeping reads."""
             padded_group = group + [group[-1]] * (nb - len(group))
-            tokens = jnp.asarray(
-                [r.prompt + [self.pad_token] * (bucket - len(r.prompt))
-                 for _, r in padded_group], jnp.int32)
             true_lens = jnp.asarray([len(r.prompt) for _, r in padded_group],
                                     jnp.int32)
             slots = jnp.asarray([i for i, _ in padded_group], jnp.int32)
-            logits, self.cache = self._prefill(
-                params=self.params, tokens=tokens, true_lens=true_lens,
-                slots=slots, cache=self.cache)
-            # sample the whole padded group (fixed (nb,) shape) and push
-            # the first tokens straight into the decode input on device.
-            # Padding rows duplicate the last request but may SAMPLE a
-            # different token (independent per-row draws) and duplicate-
-            # index scatter order is undefined — so padding rows scatter to
-            # an out-of-range index and are dropped; only row j feeds slot
-            # group[j], exactly the rows bookkeeping reads.
+            logits = prefill_fn(padded_group, true_lens, slots)
             toks = self._sample(logits, [r for _, r in padded_group])
             scatter_slots = jnp.asarray(
                 [i for i, _ in group] + [self.max_batch] * (nb - len(group)),
@@ -1096,50 +1083,75 @@ class InferenceEngine:
                 self._lengths_host[i] = len(req.prompt)
                 self._slot_budget[i] = req.max_new_tokens - 1
             pending.append((group, toks))
-        # chunked lane: long prompts stream through ceil(len/C) bounded
-        # continuation prefills (engine_prefill_chunk), all dispatched
-        # async — each chunk chains on the donated cache. Requests with
-        # the SAME chunk count group like the bucket lane (admission is
-        # weight-bound; each chunk's weight stream amortizes across the
-        # group), padded to nb with idempotent duplicate-slot rows.
-        by_chunks: Dict[int, deque] = {}
-        for req in long_reqs:
-            by_chunks.setdefault(-(-len(req.prompt) // cc),
-                                 deque()).append(req)
-        for n_chunks in sorted(by_chunks):
-            dq = by_chunks[n_chunks]
-            while free and dq:
-                group = []
-                while free and dq and len(group) < nb:
-                    req = dq.popleft()
-                    admitted.add(id(req))
-                    group.append((free.pop(0), req))
-                padded_group = group + [group[-1]] * (nb - len(group))
-                padded = [r.prompt + [self.pad_token] * (n_chunks * cc
-                                                         - len(r.prompt))
-                          for _, r in padded_group]
-                true_lens = jnp.asarray(
-                    [len(r.prompt) for _, r in padded_group], jnp.int32)
-                slots = jnp.asarray([i for i, _ in padded_group], jnp.int32)
-                logits = None
-                for ci in range(n_chunks):
-                    toks_c = jnp.asarray(
-                        [p[ci * cc:(ci + 1) * cc] for p in padded],
-                        jnp.int32)
-                    logits, self.cache = self._prefill_chunk(ci * cc)(
-                        params=self.params, tokens=toks_c,
+
+        def take_group(dq):
+            group: List[Tuple[int, Request]] = []
+            while free and dq and len(group) < nb:
+                req = dq.popleft()
+                admitted.add(id(req))
+                group.append((free.pop(0), req))
+            return group
+
+        def run_bucket_lane():
+            while free and any(by_bucket.values()):
+                bucket = next(b for b in order if by_bucket[b])
+                group = take_group(by_bucket[bucket])
+
+                def prefill(padded_group, true_lens, slots, bucket=bucket):
+                    tokens = jnp.asarray(
+                        [r.prompt + [self.pad_token] * (bucket
+                                                        - len(r.prompt))
+                         for _, r in padded_group], jnp.int32)
+                    logits, self.cache = self._prefill(
+                        params=self.params, tokens=tokens,
                         true_lens=true_lens, slots=slots, cache=self.cache)
-                toks = self._sample(logits, [r for _, r in padded_group])
-                scatter_slots = jnp.asarray(
-                    [i for i, _ in group]
-                    + [self.max_batch] * (nb - len(group)), jnp.int32)
-                self._next_token = self._next_token.at[scatter_slots].set(
-                    toks, mode="drop")
-                for i, req in group:
-                    self.slots[i] = req
-                    self._lengths_host[i] = len(req.prompt)
-                    self._slot_budget[i] = req.max_new_tokens - 1
-                pending.append((group, toks))
+                    return logits
+
+                admit_group(group, nb, prefill)
+
+        def run_chunked_lane():
+            # chunked lane: long prompts stream through ceil(len/C)
+            # bounded continuation prefills (engine_prefill_chunk), all
+            # dispatched async — each chunk chains on the donated cache.
+            # Requests with the SAME chunk count group together (each
+            # chunk's weight stream amortizes across the group).
+            by_chunks: Dict[int, deque] = {}
+            for req in long_reqs:
+                by_chunks.setdefault(-(-len(req.prompt) // cc),
+                                     deque()).append(req)
+            for n_chunks in sorted(by_chunks):
+                dq = by_chunks[n_chunks]
+                while free and dq:
+                    group = take_group(dq)
+
+                    def prefill(padded_group, true_lens, slots,
+                                n_chunks=n_chunks):
+                        padded = [r.prompt
+                                  + [self.pad_token] * (n_chunks * cc
+                                                        - len(r.prompt))
+                                  for _, r in padded_group]
+                        logits = None
+                        for ci in range(n_chunks):
+                            toks_c = jnp.asarray(
+                                [p[ci * cc:(ci + 1) * cc] for p in padded],
+                                jnp.int32)
+                            logits, self.cache = self._prefill_chunk(
+                                ci * cc)(
+                                params=self.params, tokens=toks_c,
+                                true_lens=true_lens, slots=slots,
+                                cache=self.cache)
+                        return logits
+
+                    admit_group(group, nb, prefill)
+
+        # anti-starvation: when the OLDEST queued request is a long
+        # prompt, its lane runs first — otherwise sustained short traffic
+        # would consume every free slot ahead of it forever
+        lanes = [run_bucket_lane, run_chunked_lane]
+        if long_reqs and self.queue and self.queue[0] is long_reqs[0]:
+            lanes.reverse()
+        for lane in lanes:
+            lane()
         if admitted:
             # one O(queue) rebuild preserves global FIFO for what's left
             self.queue = deque(r for r in self.queue

@@ -320,9 +320,11 @@ def decode_attention_n(
     the cache — the engine writes the cache seperately (and in place) via
     kernels/cache_update.py, so attention never waits on the write.
 
-    ``int8_compute`` (default: on for int8 caches): INT-FlashAttention-style
-    integer math — QK^T and PV run int8 x int8 on the MXU and cached values
-    are never cast. Adds ~0.5% relative error on top of cache quantization.
+    ``int8_compute`` (default: OFF — the v5e MXU probe measured int8xint8
+    dots slower than bf16 under Mosaic): INT-FlashAttention-style integer
+    math — QK^T and PV run int8 x int8 on the MXU and cached values are
+    never cast. Adds ~0.5% relative error on top of cache quantization;
+    opt in with int8_compute=True where the probe says it wins.
 
     The ``+n`` denominator term is applied exactly once, at final
     normalization, in the running max's numeraire — the invariant the
@@ -348,6 +350,10 @@ def decode_attention_n(
 
     qg = q.reshape(batch, kvh, group, hd).astype(jnp.float32) * scale
 
+    if implementation not in ("xla", "pallas"):
+        raise ValueError(
+            f"unknown decode attention implementation {implementation!r}; "
+            "expected 'xla' or 'pallas' (cfg.decode_attn_impl)")
     if implementation == "xla":
         acc, m, l = _decode_attn_stats_xla(
             qg, k_values, v_values, lengths, k_scales, v_scales)

@@ -169,6 +169,19 @@ class TestEngine:
         assert got[0] == want[0]
         assert len(got) == len(want)
 
+    def test_long_prompt_at_queue_head_admits_first(self, params):
+        # anti-starvation: with one contested slot, a long prompt at the
+        # queue head must admit before younger short prompts
+        rng = np.random.RandomState(3)
+        long_p = rng.randint(0, 97, size=40).tolist()
+        eng = InferenceEngine(TINY, params, max_batch=1, max_len=128,
+                              prefill_chunk=16)
+        eng.submit(long_p, max_new_tokens=4)          # rid 0 (long, head)
+        eng.submit([1, 2, 3], max_new_tokens=4)       # rid 1 (short)
+        done = eng.run_until_done(loop_steps=8)
+        finish_order = [r.request_id for r in done]
+        assert finish_order == [0, 1]
+
     def test_overlong_request_rejected(self, params):
         eng = InferenceEngine(TINY, params, max_batch=1, max_len=16)
         with pytest.raises(ValueError):

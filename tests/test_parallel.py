@@ -217,8 +217,10 @@ class TestMeshedFlashAttention:
 
     def test_meshed_pallas_grads_match(self):
         # grads through the shard_mapped kernel — incl. the cotangent of a
-        # (1,1,L,S) bias replicated over BOTH manual axes, which needs an
-        # explicit psum under check_vma=False
+        # (1,1,L,S) bias replicated over BOTH manual axes, which
+        # shard_map's transpose all-reduces ITSELF even under
+        # check_vma=False (an explicit psum would double-count by the
+        # shard count; see the NOTE in ops/flash_attention.py)
         require_devices(8)
         from flash_attention_softmax_n_tpu.ops.flash_attention import (
             flash_attention_n,
