@@ -29,7 +29,7 @@ import dataclasses
 import itertools
 from collections import deque
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

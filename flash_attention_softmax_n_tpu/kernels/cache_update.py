@@ -27,7 +27,7 @@ equivalent of the reference kernels' owned-buffer updates.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
     VMEM_BUDGET,
-    _cdiv,
     _round_up,
 )
 

@@ -21,11 +21,9 @@ driver dry-run) and a real ICI mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import logging
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -9,8 +9,7 @@ user-space collectives, SURVEY §2.3).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,6 @@ from flash_attention_softmax_n_tpu.models.decoder import (
     decoder_forward,
 )
 from flash_attention_softmax_n_tpu.parallel.sharding import (
-    batch_spec,
     decoder_param_specs,
     param_shardings,
     shard_pytree,

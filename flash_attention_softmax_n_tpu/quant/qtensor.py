@@ -14,7 +14,6 @@ Supported formats:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

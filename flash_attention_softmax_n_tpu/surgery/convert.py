@@ -15,7 +15,7 @@ compute path.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
