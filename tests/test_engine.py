@@ -417,6 +417,36 @@ class TestLoopServing:
         assert outs[0] == expected
         assert outs[1] == reference_tokens(params, prompt, 5)
 
+    def test_randomized_scheduling_stress(self, params):
+        # fixed-seed fuzz over the whole scheduler: mixed prompt lengths
+        # (bucket + chunked lanes), budgets, EOS, re-admission through a
+        # small slot pool, budget-adaptive chunks — every greedy request
+        # must match its independent greedy reference exactly
+        rng = np.random.RandomState(7)
+        reqs = []
+        for _ in range(12):
+            plen = int(rng.choice([3, 9, 20, 40, 70]))
+            budget = int(rng.randint(1, 12))
+            prompt = rng.randint(0, 97, size=plen).tolist()
+            reqs.append((prompt, budget))
+        expected = {}
+        eng = InferenceEngine(TINY, params, max_batch=3, max_len=128,
+                              prefill_chunk=32)
+        for rid, (prompt, budget) in enumerate(reqs):
+            full = reference_tokens(params, prompt, budget)
+            eos = full[budget // 2] if budget >= 4 and rid % 3 == 0 else None
+            if eos is not None:
+                cut = full.index(eos) + 1
+                expected[rid] = full[:cut]
+            else:
+                expected[rid] = full
+            eng.submit(prompt, max_new_tokens=budget, eos_token=eos)
+        done = eng.run_until_done(loop_steps=16)
+        assert len(done) == len(reqs)
+        for r in done:
+            assert r.output == expected[r.request_id], (
+                f"request {r.request_id} diverged")
+
     def test_nucleus_sampling_varies_on_loop(self, params):
         # two identical nucleus requests should diverge (high temperature,
         # wide p) while staying inside the truncated support
