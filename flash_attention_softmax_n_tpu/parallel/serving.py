@@ -82,6 +82,7 @@ def make_sharded_decode(cfg: DecoderConfig, mesh: Mesh, *,
                         num_steps: int = 1,
                         eos_token: Optional[int] = None,
                         temperature: float = 0.0,
+                        per_slot_sampling: bool = False,
                         donate: bool = True):
     """Compile the fused decode loop over the mesh.
 
@@ -89,15 +90,28 @@ def make_sharded_decode(cfg: DecoderConfig, mesh: Mesh, *,
     active')`` with tokens/active data-sharded. Inputs must be placed with
     ``shard_engine_state`` (params/cache); tokens/active may be host arrays
     (jit constrains them to the data axis).
+
+    ``per_slot_sampling=True`` compiles the per-slot variant instead:
+    ``loop(params, tokens, cache, active, rng, temps, top_k, top_p)`` with
+    (B,) sampling settings data-sharded like the tokens — mixed greedy /
+    temperature / top-k / nucleus slots share the one executable
+    (ops/sampling.py; ``temperature``/scalar mode is then ignored).
     """
     from flash_attention_softmax_n_tpu.engine.engine import engine_decode_loop
 
     tok_sharding = NamedSharding(mesh, P("data"))
 
-    def fn(params, tokens, cache, active):
-        return engine_decode_loop(
-            params, cfg, tokens, cache, active, num_steps=num_steps,
-            eos_token=eos_token, temperature=temperature, mesh=mesh)
+    if per_slot_sampling:
+        def fn(params, tokens, cache, active, rng, temps, top_k, top_p):
+            return engine_decode_loop(
+                params, cfg, tokens, cache, active, num_steps=num_steps,
+                eos_token=eos_token, rng=rng, temps=temps, top_k=top_k,
+                top_p=top_p, mesh=mesh)
+    else:
+        def fn(params, tokens, cache, active):
+            return engine_decode_loop(
+                params, cfg, tokens, cache, active, num_steps=num_steps,
+                eos_token=eos_token, temperature=temperature, mesh=mesh)
 
     kwargs = dict(donate_argnames=("cache",)) if donate else {}
     return jax.jit(

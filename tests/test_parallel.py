@@ -455,6 +455,30 @@ class TestShardedServing:
         assert "data" in str(out.sharding.spec)
         assert bool(jnp.all(cache2["lengths"] == cache["lengths"] + 8))
 
+    def test_sharded_per_slot_sampling(self):
+        # per-slot sampling variant: temp-0 rows of the sharded loop must
+        # reproduce the greedy reference; sampled rows stay in range
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.parallel import (
+            make_sharded_decode,
+            shard_engine_state,
+        )
+
+        cfg, params, cache, tok, active, ref = self._setup(None)
+        mesh = make_mesh({"data": 2, "model": 4})
+        sp_, sc = shard_engine_state(params, dict(cache), mesh)
+        loop = make_sharded_decode(cfg, mesh, num_steps=8, donate=False,
+                                   per_slot_sampling=True)
+        temps = jnp.asarray([0.0, 1.5, 0.0, 2.0], jnp.float32)
+        ks = jnp.asarray([0, 8, 0, 0], jnp.int32)
+        ps = jnp.asarray([1.0, 1.0, 1.0, 0.9], jnp.float32)
+        out, _, _ = loop(sp_, tok, sc, active, jax.random.PRNGKey(3),
+                         temps, ks, ps)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[0], np.asarray(ref)[0])
+        np.testing.assert_array_equal(out[2], np.asarray(ref)[2])
+        assert out.min() >= 0 and out.max() < cfg.vocab_size
+
 
 class TestRemat:
     """cfg.remat wraps each scanned layer in jax.checkpoint: identical
