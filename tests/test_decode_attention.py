@@ -128,3 +128,17 @@ class TestDecodeAttention:
             q, k, v, le, softmax_n_param=1.0))
         np.testing.assert_allclose(f(q, k, v, lengths),
                                    oracle(q, k, v, lengths, 1.0), atol=2e-3)
+
+
+class TestImplementationValidation:
+    def test_unknown_implementation_rejected(self):
+        from flash_attention_softmax_n_tpu.kernels.decode_attention import (
+            decode_attention_n,
+        )
+        q = jnp.zeros((1, 4, 64))
+        k = jnp.zeros((1, 2, 8, 64))
+        lens = jnp.ones((1,), jnp.int32)
+        # 'auto' is NOT a decode route (cfg.decode_attn_impl is xla|pallas);
+        # a typo must fail loudly instead of silently picking the kernel
+        with pytest.raises(ValueError, match="unknown decode attention"):
+            decode_attention_n(q, k, k, lens, implementation="auto")
