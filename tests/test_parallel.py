@@ -257,6 +257,38 @@ class TestMeshedFlashAttention:
         with pytest.raises(ValueError, match="does not divide"):
             flash_attention_n(q, q, q, implementation="pallas", mesh=mesh)
 
+    def test_indivisible_auto_falls_back_to_xla(self):
+        # 'auto' must degrade to the GSPMD XLA path instead of erroring
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import (
+            slow_attention_n,
+        )
+        mesh = make_mesh({"data": 2, "model": 4})
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q, k, v = (0.5 * jax.random.normal(kk, (2, 6, 32, 32))
+                   for kk in ks)  # 6 heads % 4 != 0
+        out = jax.jit(lambda q, k, v: flash_attention_n(
+            q, k, v, softmax_n_param=1.0, is_causal=True,
+            implementation="auto", mesh=mesh))(q, k, v)
+        ref = slow_attention_n(q, k, v, softmax_n_param=1.0, is_causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_meshed_dropout_rejected(self):
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        mesh = make_mesh({"data": 2, "model": 4})
+        q = jnp.zeros((2, 4, 32, 32))
+        with pytest.raises(NotImplementedError, match="dropout under mesh"):
+            flash_attention_n(q, q, q, dropout_p=0.5,
+                              dropout_rng=jax.random.PRNGKey(0),
+                              implementation="pallas", mesh=mesh)
+
     def test_meshed_engine_prefill_pallas_matches_xla(self):
         # the engine's admission path with the auto (pallas) implementation
         # under mesh must reproduce the unmeshed XLA prefill
