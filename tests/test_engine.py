@@ -417,6 +417,24 @@ class TestLoopServing:
         assert outs[0] == expected
         assert outs[1] == reference_tokens(params, prompt, 5)
 
+    def test_max_steps_bounds_work(self, params):
+        # the public contract: run_until_done(max_steps=N) terminates
+        # after at most N accounting units (chunks count their full
+        # length) even with work left over
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        for j in range(4):
+            eng.submit([3 + j, 1, 4], max_new_tokens=50)
+        done = eng.run_until_done(max_steps=16, loop_steps=8)
+        # 2 slots x 16 steps of budget can't finish 4 x 50-token requests
+        assert len(done) < 4
+        emitted = sum(len(r.output) for r in done) + sum(
+            len(r.output) for r in eng.slots if r is not None)
+        # at most max_steps tokens per slot could have been decoded (+1
+        # prefill token per admitted request)
+        assert emitted <= 16 * 2 + 4
+        # the queue/slots still hold the unfinished work
+        assert eng.queue or any(s is not None for s in eng.slots)
+
     def test_randomized_scheduling_stress(self, params):
         # fixed-seed fuzz over the whole scheduler: mixed prompt lengths
         # (bucket + chunked lanes), budgets, EOS, re-admission through a
