@@ -207,3 +207,39 @@ class TestPerplexity:
         assert out["ppl_dense"] > 1.0
         # int8 weight-only on a random init: ppl moves by well under 5%
         assert abs(out["relative"]) < 0.05
+
+
+class TestXLNetAnalysisIntegration:
+    """The measurement workflow over the XLNet taps: collect streaming
+    activation stats from xlnet_forward(collect_taps=True) and run the
+    quantization gate — the reference's XLNet outlier study end-to-end."""
+
+    def test_xlnet_taps_to_gate_report(self):
+        from flash_attention_softmax_n_tpu.models.xlnet import (
+            XLNetConfig,
+            init_xlnet_params,
+            xlnet_forward,
+        )
+        from flash_attention_softmax_n_tpu.quant import gate_report
+
+        cfg = XLNetConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
+                          d_head=16, d_inner=64, softmax_n=1.0)
+        params = init_xlnet_params(cfg, jax.random.PRNGKey(0))
+        names = [f"layer.{i}.rel_attn.output" for i in range(2)]
+
+        def apply_fn(ids):
+            out, taps = xlnet_forward(params, cfg, ids, collect_taps=True)
+            return out["last_hidden_state"], taps
+
+        hooked, stats = register_activation_hooks(apply_fn, names,
+                                                  layers_to_save=names)
+        rng = np.random.RandomState(0)
+        for _ in range(2):
+            ids = jnp.asarray(rng.randint(0, 64, size=(2, 8)), jnp.int32)
+            _, stats = hooked(stats, ids)
+        d = activation_stats_to_dict(stats)
+        assert d[names[0]]["n_samples"] == 4
+        report = gate_report(d)
+        assert set(report) == set(names)
+        for entry in report.values():
+            assert {"kurtosis", "int8_ok", "int4_ok", "fp8_ok"} <= set(entry)
