@@ -1,0 +1,122 @@
+"""Relay watchdog: poll the axon TPU relay; on recovery run the evidence queue.
+
+The relay can wedge for hours (see CLAUDE.md / memory): round 2 lost its
+entire TPU window to a wedge, so this round automates recovery capture
+(VERDICT round-2, next-round item 1). Run detached:
+
+    nohup python scripts/relay_watchdog.py > results/watchdog.log 2>&1 &
+
+Every POLL_SECS it spawns a subprocess probe (a tiny matmul with a scalar
+transfer sync — `jax.devices()` alone can hang OR lie). On the first
+healthy probe it writes results/RELAY_UP, then runs the recovery queue in
+order, each under its own timeout, appending to results/recovery/:
+
+  1. tests/test_tpu_smoke.py      — Mosaic lowering of every round-2 kernel
+  2. scripts/bench_decode_attn.py — decode kernel vs XLA decision data
+  3. bench.py (x2)                — headline + churn capture
+  4. scripts/sweep_prefill_flash.py — prefill block-shape sweep
+
+The queue stops on probe-style hangs (each step has a hard timeout) but NOT
+on test failures — later steps still produce evidence. After the queue the
+watchdog exits; inspect results/recovery/ and re-run manually as needed.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "results")
+RECOVERY = os.path.join(RESULTS, "recovery")
+POLL_SECS = int(os.environ.get("WATCHDOG_POLL_SECS", "300"))
+PROBE_TIMEOUT = 120
+
+PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "x = jnp.ones((256, 256), jnp.bfloat16); "
+    "print('PROBE_OK', float(jnp.sum((x @ x).astype(jnp.float32))))"
+)
+
+# (name, argv, timeout_secs)
+QUEUE = [
+    ("tpu_smoke", [sys.executable, "-m", "pytest",
+                   "tests/test_tpu_smoke.py", "-q", "--no-header"], 2400),
+    ("bench_decode_attn", [sys.executable, "scripts/bench_decode_attn.py"],
+     1500),
+    ("bench_1", [sys.executable, "bench.py"], 1800),
+    ("bench_2", [sys.executable, "bench.py"], 1800),
+    ("sweep_prefill", [sys.executable, "scripts/sweep_prefill_flash.py"],
+     1800),
+]
+
+
+def now() -> str:
+    return datetime.datetime.now().strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def probe() -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE], cwd=REPO,
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT)
+        return "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def run_queue() -> None:
+    os.makedirs(RECOVERY, exist_ok=True)
+    stamp = now().replace(":", "")
+    for name, argv, limit in QUEUE:
+        log = os.path.join(RECOVERY, f"{stamp}_{name}.log")
+        print(f"[{now()}] queue: {name} -> {log}", flush=True)
+        env = dict(os.environ)
+        if name == "tpu_smoke":
+            env["FASN_TPU_TESTS"] = "1"
+        t0 = time.time()
+        try:
+            with open(log, "w") as fh:
+                r = subprocess.run(argv, cwd=REPO, stdout=fh,
+                                   stderr=subprocess.STDOUT, env=env,
+                                   timeout=limit)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "TIMEOUT"
+        print(f"[{now()}]   {name}: rc={rc} ({time.time() - t0:.0f}s)",
+              flush=True)
+        # a hang suggests the relay re-wedged; verify before continuing
+        if rc == "TIMEOUT" and not probe():
+            print(f"[{now()}]   relay re-wedged; stopping queue", flush=True)
+            return
+
+
+def main() -> None:
+    os.makedirs(RESULTS, exist_ok=True)
+    up_sentinel = os.path.join(RESULTS, "RELAY_UP")
+    busy_sentinel = os.path.join(RESULTS, "RECOVERY_RUNNING")
+    print(f"[{now()}] watchdog start (poll every {POLL_SECS}s)", flush=True)
+    while True:
+        if probe():
+            print(f"[{now()}] RELAY UP", flush=True)
+            with open(up_sentinel, "w") as fh:
+                fh.write(now() + "\n")
+            with open(busy_sentinel, "w") as fh:
+                fh.write(now() + "\n")
+            try:
+                run_queue()
+            finally:
+                os.remove(busy_sentinel)
+            print(f"[{now()}] queue done; watchdog exiting", flush=True)
+            return
+        print(f"[{now()}] relay down", flush=True)
+        time.sleep(POLL_SECS)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,3 +189,268 @@ class TestMosaicLowering:
         for a, b in zip(gf, gr):
             # TPU f32 matmuls run through bf16 passes; tolerance reflects it
             assert float(jnp.max(jnp.abs(a - b))) < 5e-3
+
+
+@requires_tpu
+class TestRound2MosaicPaths:
+    """Round-2 kernel changes: each landed CPU-interpret-verified while the
+    relay was wedged; these compile them with the REAL Mosaic pipeline at
+    the shapes the serving/training paths use (round-2 VERDICT weak #2)."""
+
+    def _oracle(self, q, k, v, *, n, bias=None, slopes=None, rate=0.0,
+                seed=0, causal=False):
+        # mirrors tests/test_flash_attention.py::TestFusedDropoutAndBiasGrads
+        import math
+
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            dropout_keep,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        B, H, L, E = q.shape
+        S = k.shape[2]
+        s = jnp.einsum("bhle,bhse->bhls", q, k) / math.sqrt(E)
+        if bias is not None:
+            s = s + bias
+        if slopes is not None:
+            qp = jnp.arange(L)[:, None]
+            kp = jnp.arange(S)[None, :]
+            dist = (qp + (S - L) - kp).astype(jnp.float32)
+            s = s - slopes[None, :, None, None] * jnp.abs(dist)[None, None]
+        if causal:
+            m = jnp.tril(jnp.ones((L, S), bool), k=S - L)
+            s = jnp.where(m, s, -1e30)
+        p = softmax_n(s, n=n, axis=-1)
+        if rate > 0:
+            keep = dropout_keep(
+                seed,
+                jnp.arange(B)[:, None, None, None],
+                jnp.arange(H)[None, :, None, None],
+                jnp.arange(L)[None, None, :, None],
+                jnp.arange(S)[None, None, None, :],
+                rate,
+            )
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        return jnp.einsum("bhls,bhsv->bhlv", p, v)
+
+    def test_flash_dropout_fwd_bwd(self):
+        # in-kernel hash dropout (kernels/flash_attention.py:98-146):
+        # iota-hash + compare lowering never ran under Mosaic before
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(40), 3)
+        q = 0.3 * jax.random.normal(ks[0], (2, 2, 200, 64), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (2, 2, 264, 64), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (2, 2, 264, 64), jnp.float32)
+        out = jax.jit(lambda q, k, v: flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, dropout_rate=0.3, dropout_seed=77,
+            block_q=128, block_k=128))(q, k, v)
+        ref = self._oracle(q, k, v, n=1.0, rate=0.3, seed=77)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-3)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        gf = jax.jit(jax.grad(loss(lambda q, k, v: flash_attention_n_fused(
+            q, k, v, softmax_n_param=1.0, is_causal=True, dropout_rate=0.25,
+            dropout_seed=9, block_q=128, block_k=128)), (0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss(lambda q, k, v: self._oracle(
+            q, k, v, n=1.0, rate=0.25, seed=9, causal=True)),
+            (0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            assert float(jnp.max(jnp.abs(a - b))) < 5e-3
+
+    def test_flash_dbias_dslope_backward(self):
+        # dbias tile emission + broadcast reduction and the dslope
+        # cotangent (kernels/flash_attention.py:394-471)
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        ks = jax.random.split(jax.random.PRNGKey(41), 5)
+        B, H, L, S, E = 2, 4, 256, 256, 64
+        q = 0.3 * jax.random.normal(ks[0], (B, H, L, E), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (B, H, S, E), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (B, H, S, E), jnp.float32)
+        bias = 0.1 * jax.random.normal(ks[3], (1, H, L, S), jnp.float32)
+        slopes = jnp.abs(jax.random.normal(ks[4], (H,), jnp.float32)) * 0.05
+
+        def fused_loss(bias, slopes):
+            o = flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, bias=bias,
+                alibi_slopes=slopes, is_causal=True,
+                block_q=128, block_k=128)
+            return jnp.sum(o ** 2)
+
+        def slow_loss(bias, slopes):
+            o = self._oracle(q, k, v, n=1.0, bias=bias, slopes=slopes,
+                             causal=True)
+            return jnp.sum(o ** 2)
+
+        gf = jax.jit(jax.grad(fused_loss, (0, 1)))(bias, slopes)
+        gr = jax.jit(jax.grad(slow_loss, (0, 1)))(bias, slopes)
+        assert float(jnp.max(jnp.abs(gf[0] - gr[0]))) < 5e-3
+        assert float(jnp.max(jnp.abs(gf[1] - gr[1]))) < 5e-2  # |dist| sums
+
+    def test_argmax_return_max(self):
+        # return_max=True adds a second kernel output — the TP merge key
+        # (_sharded_lm_head_argmax, engine/engine.py) — never Mosaic-compiled
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul,
+            quantized_matmul_argmax,
+        )
+        from flash_attention_softmax_n_tpu.quant.qtensor import quantize
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 2048), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (2048, 32000),
+                              jnp.bfloat16)
+        qt = quantize(w, bits=8, axis=0)
+        logits = jax.jit(lambda x: quantized_matmul(
+            x, qt.values, qt.scales, bits=8, out_dtype=jnp.float32))(x)
+        idx, val = jax.jit(lambda x: quantized_matmul_argmax(
+            x, qt.values, qt.scales, return_max=True))(x)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.asarray(jnp.argmax(logits, -1)))
+        np.testing.assert_allclose(np.asarray(val),
+                                   np.asarray(jnp.max(logits, -1)),
+                                   rtol=1e-6)
+
+    def test_decode_attention_hd64_unpadded(self):
+        # round-2 fix: hd in (32, 64) runs UNPADDED blocks (no lane-128
+        # padding, no jnp.pad cache copy) — a distinct lowering path; also
+        # covers the k_new self-term epilogue the engine always uses
+        from flash_attention_softmax_n_tpu.kernels.decode_attention import (
+            decode_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        B, H, KVH, HD, S = 8, 16, 4, 64, 1024
+        ks = jax.random.split(jax.random.PRNGKey(2), 5)
+        q = jax.random.normal(ks[0], (B, H, HD), jnp.bfloat16)
+        k = 0.3 * jax.random.normal(ks[1], (B, KVH, S, HD), jnp.bfloat16)
+        v = 0.3 * jax.random.normal(ks[2], (B, KVH, S, HD), jnp.bfloat16)
+        kn = 0.3 * jax.random.normal(ks[3], (B, KVH, HD), jnp.bfloat16)
+        vn = 0.3 * jax.random.normal(ks[4], (B, KVH, HD), jnp.bfloat16)
+        lens = jnp.asarray([100, 1024, 3, 257, 1, 64, 300, 1023], jnp.int32)
+        sc = HD ** -0.5
+        G = H // KVH
+        qf = q.reshape(B, KVH, G, HD).astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        scores = jnp.einsum("bkge,bkse->bkgs", qf, kf) * sc
+        s_new = jnp.einsum("bkge,bke->bkg", qf, kn.astype(jnp.float32)) * sc
+        valid = jnp.arange(S)[None, None, None, :] < lens[:, None, None, None]
+        allscores = jnp.concatenate(
+            [jnp.where(valid, scores, -1e30), s_new[..., None]], -1)
+        p = softmax_n(allscores, n=1.0, axis=-1)
+        allv = jnp.concatenate(
+            [v.astype(jnp.float32)[:, :, None].repeat(G, 2),
+             vn.astype(jnp.float32)[:, :, None, None, :].repeat(G, 2)], 3)
+        ref = jnp.einsum("bkgs,bkgse->bkge", p, allv).reshape(B, H, HD)
+        o = jax.jit(lambda q: decode_attention_n(
+            q, k, v, lens, k_new=kn, v_new=vn, softmax_n_param=1.0,
+            scale=sc, implementation="pallas"))(q)
+        assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref))) < 0.01
+
+    def test_decode_loop_tail_attn_len_int8(self):
+        # the b>=8 serving path end-to-end: shared-index bf16 ring buffer
+        # (aliased Pallas RMW write), one-flush quantizing scatter, fused
+        # argmax lm_head, attn_len cache slicing — one compiled program
+        from functools import partial
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            engine_decode_loop,
+            engine_prefill,
+        )
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig,
+            init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.quant import (
+            quantize_decoder_weights,
+        )
+        from flash_attention_softmax_n_tpu.quant.kv_cache import (
+            init_quantized_kv_cache,
+        )
+        cfg = DecoderConfig(
+            vocab_size=4096, d_model=512, n_layers=2, n_heads=8,
+            n_kv_heads=4, d_ff=1024, max_seq_len=512, softmax_n=1.0,
+            dtype=jnp.bfloat16)
+        params = quantize_decoder_weights(
+            init_decoder_params(cfg, jax.random.PRNGKey(0)), bits=8)
+        B, steps = 8, 16
+        cache = init_quantized_kv_cache(cfg.n_layers, B, cfg.n_kv_heads,
+                                        cfg.max_seq_len, cfg.head_dim,
+                                        mode="int8")
+        cache.pop("length")
+        cache["lengths"] = jnp.zeros((B,), jnp.int32)
+        pre = jax.jit(partial(engine_prefill, cfg=cfg))
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8, 9, 7, 9],
+                   [2, 7, 1], [11, 13], [17, 19, 23, 29], [31], [37, 41, 43]]
+        for slot, p in enumerate(prompts):
+            _, cache = pre(params=params,
+                           tokens=jnp.asarray([p], jnp.int32),
+                           true_len=jnp.asarray(len(p), jnp.int32),
+                           slot=jnp.asarray(slot, jnp.int32), cache=cache)
+        tok0 = jnp.arange(1, B + 1, dtype=jnp.int32)
+        active = jnp.ones((B,), bool)
+        full = jax.jit(partial(engine_decode_loop, cfg=cfg,
+                               num_steps=steps))
+        windowed = jax.jit(partial(engine_decode_loop, cfg=cfg,
+                                   num_steps=steps, attn_len=256))
+        t1, c1, _ = full(params=params, tokens=tok0, cache=dict(cache),
+                         active=active)
+        t2, c2, _ = windowed(params=params, tokens=tok0, cache=dict(cache),
+                             active=active)
+        # attn_len=256 >= every active length: must be token-identical
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(c1["lengths"]),
+                                      np.asarray(c2["lengths"]))
+
+    def test_meshed_flash_one_device(self):
+        # shard_mapped Pallas kernel (ops/flash_attention._shard_mapped_fused):
+        # Mosaic under manual SPMD was only ever run on the CPU mesh
+        from jax.sharding import Mesh
+
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import (
+            slow_attention_n,
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "model"))
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = 0.3 * jax.random.normal(ks[0], (2, 4, 512, 64), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (2, 4, 512, 64), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (2, 4, 512, 64), jnp.float32)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        gf = jax.jit(jax.grad(loss(lambda q, k, v: flash_attention_n(
+            q, k, v, softmax_n_param=1.0, is_causal=True,
+            implementation="pallas", mesh=mesh)), (0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss(lambda q, k, v: slow_attention_n(
+            q, k, v, softmax_n_param=1.0, is_causal=True)),
+            (0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            assert float(jnp.max(jnp.abs(a - b))) < 5e-3
+
+    def test_sharded_lm_head_argmax_one_device_mesh(self):
+        # vocab-sharded fused argmax + cross-shard merge under shard_map
+        from jax.sharding import Mesh
+
+        from flash_attention_softmax_n_tpu.engine.engine import (
+            _sharded_lm_head_argmax,
+        )
+        from flash_attention_softmax_n_tpu.quant.qtensor import quantize
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "model"))
+        x = jax.random.normal(jax.random.PRNGKey(4), (8, 1, 512),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(5), (512, 4096),
+                              jnp.bfloat16)
+        qt = quantize(w, bits=8, axis=0)
+        ref = jnp.argmax(
+            x.astype(jnp.float32)[:, 0]
+            @ (qt.values.astype(jnp.float32) * qt.scales), -1)
+        out = jax.jit(lambda x: _sharded_lm_head_argmax(x, qt, mesh))(x)
+        np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(ref))
