@@ -766,6 +766,12 @@ class InferenceEngine:
                top_k: int = 0, top_p: float = 1.0) -> int:
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        if temperature == 0.0 and (top_k > 0 or top_p < 1.0):
+            # greedy rows bypass truncation entirely (ops/sampling.py):
+            # reject rather than silently ignore the caller's warpers
+            raise ValueError(
+                "top_k/top_p require temperature > 0 (temperature=0 is "
+                "greedy argmax and ignores truncation)")
         req = Request(next(self._id_gen), list(prompt), max_new_tokens,
                       temperature, eos_token, top_k=top_k, top_p=top_p)
         self.queue.append(req)
@@ -882,13 +888,21 @@ class InferenceEngine:
             # first-token finishes) — a chunk would be 100% discarded
             return 0
         best_c, best_rate = loop_steps, -1.0
+        cands = []
         c = 8
         while c <= loop_steps:
+            cands.append(c)
+            c *= 2
+        if loop_steps >= 8 and loop_steps not in cands:
+            # non-power-of-two ceilings (run_until_done(loop_steps=48))
+            # must still be dispatchable at full length for homogeneous
+            # steady-state batches
+            cands.append(loop_steps)
+        for c in cands:
             rate = (sum(min(r, c) for r in rem)
                     / (c + self._SCHED_OVERHEAD_STEPS))
             if rate > best_rate:
                 best_rate, best_c = rate, c
-            c *= 2
         return best_c
 
     def _fused_chunk_len(self, loop_steps: int) -> int:
