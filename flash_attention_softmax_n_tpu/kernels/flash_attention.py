@@ -50,7 +50,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention_n_fused", "FlashConfig"]
+__all__ = ["flash_attention_n_fused", "flash_attention_block_grads",
+           "FlashConfig"]
 
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 LANES = 128  # TPU vreg lane count; (m, l) scratch is replicated across lanes
@@ -818,3 +819,76 @@ def flash_attention_n_fused(
     if return_residuals:
         return out, lse[:, :, :q_len, 0]
     return out
+
+
+def flash_attention_block_grads(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    dout: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Flash backward of ONE kv block against an EXTERNAL normalizer.
+
+    The ring-attention building block (SURVEY §2.3): the ring's VJP
+    recomputes per-block probabilities from the GLOBAL softmax-N logsumexp
+    ``lse`` (p = exp(s - lse)) and needs per-block (dq, dk, dv) — the same
+    tile math as the kernel's own backward, so this entry point reuses the
+    two backward Pallas kernels with caller-supplied ``out``/``lse``
+    instead of this block's own residuals. ``delta = rowsum(dout·out)`` is
+    exact for softmax-N because the phantom ``+n`` key's value row is zero
+    (reference parity: flash_attn_triton.py:130-143 computes the same
+    delta in _bwd_preprocess).
+
+    query (B, H, L, E); key/value (B, H, S, E); out/dout (B, H, L, E);
+    lse (B, H, L) float32 — log(n + sum_j exp(s_j)) over the FULL (global)
+    key range, not just this block. Returns (dq, dk, dv) in input dtypes.
+    """
+    batch, heads, q_len, d = query.shape
+    kv_len = key.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_q = min(block_q, _round_up(q_len, 128))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    q_len_p = _round_up(q_len, block_q)
+    kv_len_p = _round_up(kv_len, block_k)
+    d_p = d if d in (32, 64) else _round_up(d, 128)
+
+    cfg = FlashConfig(
+        n=0.0,  # n enters only through the caller's lse
+        scale=float(scale),
+        is_causal=bool(is_causal),
+        q_len=q_len,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=bool(interpret),
+    )
+
+    pad_q = ((0, 0), (0, 0), (0, q_len_p - q_len), (0, d_p - d))
+    pad_kv = ((0, 0), (0, 0), (0, kv_len_p - kv_len), (0, d_p - d))
+    qp = jnp.pad(query, pad_q)
+    kp = jnp.pad(key, pad_kv)
+    vp = jnp.pad(value, pad_kv)
+    op = jnp.pad(out, pad_q)
+    dop = jnp.pad(dout, pad_q)
+    # padded query rows: dout is 0 there, but p = exp(s - lse) must not
+    # overflow into inf·0 — pad lse with a large POSITIVE value so p == 0
+    lsep = jnp.pad(lse.astype(jnp.float32)[..., None],
+                   ((0, 0), (0, 0), (0, q_len_p - q_len), (0, 0)),
+                   constant_values=-NEG_INF)
+
+    dq, dk, dv, _, _ = _bwd(cfg, (qp, kp, vp, None, None, None, op, lsep),
+                            dop)
+    return (dq[:, :, :q_len, :d], dk[:, :, :kv_len, :d],
+            dv[:, :, :kv_len, :d])

@@ -78,6 +78,11 @@ class DecoderConfig:
     # pass instead of storing its activations — O(1) activation memory in
     # depth, the standard long-sequence training trade (jax.checkpoint)
     remat: bool = False
+    # attention-probability dropout for fine-tuning (reference parity:
+    # the patched modules keep their nn.Dropout live, surgery/_bert.py:102,
+    # _xlnet.py:63). Active only under decoder_forward(train=True); rides
+    # the in-kernel hash dropout on the Pallas path — no HBM mask.
+    attn_dropout: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -245,6 +250,9 @@ def decoder_forward(
     tokens: jax.Array,
     *,
     collect_taps: bool = False,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    output_attentions: bool = False,
     sp_mesh=None,
     sp_axis: str = "sp",
     tp_mesh=None,
@@ -253,6 +261,18 @@ def decoder_forward(
 
     With ``collect_taps=True`` returns (logits, taps) where taps maps
     'layers.{i}.attention.output' -> (B, L, D) for the analysis collector.
+
+    ``train=True`` activates ``cfg.attn_dropout`` (requires ``dropout_rng``;
+    one fold per layer) — the fine-tune regularization path. On the Pallas
+    route the mask is the in-kernel hash (kernels/flash_attention.py); under
+    ``tp_mesh`` dropout attention degrades to the GSPMD XLA path (in-kernel
+    dropout is not shard_mapped); under ``sp_mesh`` dropout raises.
+
+    ``output_attentions=True`` returns (logits, ..., attn_probs) with
+    attn_probs (n_layers, B, H, L, L) post-softmax (post-dropout when
+    training) probabilities via the materializing XLA path — the inspection
+    escape hatch for softmax-N outlier analysis (reference parity:
+    surgery/_xlnet.py:72-73 returns attn_prob on request).
 
     ``sp_mesh``/``sp_axis``: sequence-parallel training — attention runs as
     ring attention over the ``sp_axis`` mesh axis (parallel/ring_attention),
@@ -272,7 +292,20 @@ def decoder_forward(
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     positions = jnp.arange(l)
 
-    def attn(q, k, v):
+    dp = cfg.attn_dropout if train else 0.0
+    if dp > 0.0 and dropout_rng is None:
+        raise ValueError("train=True with cfg.attn_dropout > 0 requires "
+                         "dropout_rng")
+    if dp > 0.0 and sp_mesh is not None:
+        raise NotImplementedError(
+            "ring (sequence-parallel) attention has no dropout path; "
+            "train with tp_mesh or dp-only sharding instead")
+    if output_attentions and sp_mesh is not None:
+        raise NotImplementedError(
+            "output_attentions materializes (B, H, L, L) probabilities; "
+            "the ring path never forms them — run without sp_mesh")
+
+    def attn(q, k, v, key):
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
         if sp_mesh is not None:
@@ -287,31 +320,55 @@ def decoder_forward(
             return ctx, None
         k = _repeat_kv(k, cfg.n_heads // cfg.n_kv_heads)
         v = _repeat_kv(v, cfg.n_heads // cfg.n_kv_heads)
+        if output_attentions:
+            # materializing path: same numerics as implementation='xla'
+            scores = jnp.einsum("bhle,bhse->bhls", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores * jnp.float32(cfg.head_dim ** -0.5)
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            scores = jnp.where(causal, scores, -jnp.inf)
+            probs = softmax_n(scores, n=cfg.softmax_n, axis=-1)
+            if dp > 0.0:
+                keep = jax.random.bernoulli(key, 1.0 - dp, probs.shape)
+                probs = jnp.where(keep, probs / (1.0 - dp), 0.0)
+            ctx = jnp.einsum("bhls,bhsv->bhlv", probs.astype(q.dtype), v)
+            return ctx, probs
         ctx = flash_attention_n(
             q, k, v,
             softmax_n_param=cfg.softmax_n,
             is_causal=True,
+            dropout_p=dp,
+            train=train,
+            dropout_rng=key,
             implementation=cfg.attn_implementation,
             mesh=tp_mesh,
         )
         return ctx, None
 
-    def body(x, lp):
-        x, attn_out, _ = _layer(cfg, (cos, sin), x, lp, attn)
-        return x, attn_out if collect_taps else 0
+    def body(x, layer_in):
+        lp, key = layer_in
+        x, attn_out, probs = _layer(cfg, (cos, sin), x, lp,
+                                    lambda q, k, v: attn(q, k, v, key))
+        return x, (attn_out if collect_taps else 0,
+                   probs if output_attentions else 0)
 
+    layer_keys = (jax.random.split(dropout_rng, cfg.n_layers)
+                  if dp > 0.0 else None)
     if cfg.remat:
         body = jax.checkpoint(body)
-    x, tap_stack = jax.lax.scan(body, x, params["layers"])
+    x, (tap_stack, prob_stack) = jax.lax.scan(
+        body, x, (params["layers"], layer_keys))
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x, params["lm_head"], cfg.act_bits,
                  cfg.int8_mm_impl).astype(jnp.float32)
 
+    out = (logits,)
     if collect_taps:
-        taps = {f"layers.{i}.attention.output": tap_stack[i]
-                for i in range(cfg.n_layers)}
-        return logits, taps
-    return logits
+        out += ({f"layers.{i}.attention.output": tap_stack[i]
+                 for i in range(cfg.n_layers)},)
+    if output_attentions:
+        out += (prob_stack,)
+    return out[0] if len(out) == 1 else out
 
 
 # ----------------------------------------------------------------------------

@@ -205,8 +205,11 @@ def flash_attention_n(
             if ax in mesh.axis_names and dim % mesh.shape[ax]:
                 mesh_divisible = False
     if implementation == "auto":
+        # in-kernel dropout under mesh SPMD is unsupported (explicit
+        # 'pallas' raises below); 'auto' degrades to the GSPMD XLA path
+        meshed_dropout = use_dropout and mesh is not None
         implementation = ("pallas" if can_pallas and mesh_divisible
-                          else "xla")
+                          and not meshed_dropout else "xla")
     if implementation == "pallas" and not can_pallas:
         raise ValueError(
             "pallas path requires E == Ev; use implementation='xla'"

@@ -74,13 +74,23 @@ def xlnet_rel_attn_core_n(
     head_mask: Optional[jax.Array] = None,
     scale: float,
     softmax_n_param: float = 0.0,
-) -> jax.Array:
+    dropout_p: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+    return_probs: bool = False,
+):
     """softmax-N relative attention core (XLNet layout, seq-first).
 
     q_head (qlen, bsz, n_head, d_head); k_head_h / v_head_h
     (klen, bsz, n_head, d_head); k_head_r (rlen, bsz, n_head, d_head);
     seg_mat (qlen, klen, bsz, 2); attn_mask (qlen, klen, bsz, 1|n_head)
-    with 1 = masked (XLNet convention). Returns (qlen, bsz, n_head, d_head).
+    with 1 = masked (XLNet convention). Returns (qlen, bsz, n_head, d_head),
+    or (attn_vec, attn_prob) with ``return_probs`` — attn_prob in the
+    reference's (i, j, b, n) layout, post-dropout post-head_mask, exactly
+    what the patched ``rel_attn_core`` returns (_xlnet.py:63-73).
+
+    ``dropout_p``/``dropout_key``: attention-probability dropout between
+    softmax_n and head_mask (the reference keeps ``self.dropout`` live for
+    fine-tuning, _xlnet.py:63).
     """
     if softmax_n_param < 0:
         raise ValueError(
@@ -108,8 +118,18 @@ def xlnet_rel_attn_core_n(
     # the one-line change relative to standard XLNet (reference _xlnet.py:62)
     attn_prob = softmax_n(attn_score, n=softmax_n_param, axis=3)
 
+    if dropout_p > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_p > 0 requires dropout_key")
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_p,
+                                    attn_prob.shape)
+        attn_prob = jnp.where(keep, attn_prob / (1.0 - dropout_p), 0.0)
+
     if head_mask is not None:
         attn_prob = attn_prob * jnp.einsum("ijbn->bnij", head_mask)
 
-    return jnp.einsum("bnij,jbnd->ibnd",
-                      attn_prob.astype(v_head_h.dtype), v_head_h)
+    attn_vec = jnp.einsum("bnij,jbnd->ibnd",
+                          attn_prob.astype(v_head_h.dtype), v_head_h)
+    if return_probs:
+        return attn_vec, jnp.einsum("bnij->ijbn", attn_prob)
+    return attn_vec

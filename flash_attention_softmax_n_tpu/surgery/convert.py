@@ -74,6 +74,10 @@ def bert_config_from_hf(hf_config, softmax_n: float = 0.0,
         dtype=dtype,
         is_decoder=getattr(hf_config, "is_decoder", False),
         add_cross_attention=getattr(hf_config, "add_cross_attention", False),
+        attn_dropout=getattr(hf_config, "attention_probs_dropout_prob", 0.0),
+        hidden_dropout=getattr(hf_config, "hidden_dropout_prob", 0.0),
+        position_embedding_type=getattr(hf_config, "position_embedding_type",
+                                        "absolute"),
     )
 
 
@@ -128,6 +132,9 @@ def bert_params_from_hf(model_or_sd, cfg: BertConfig) -> Dict:
             "b": jnp.asarray(g("pooler.dense.bias"), dt),
         },
     }
+    if cfg.position_embedding_type in ("relative_key", "relative_key_query"):
+        params["layers"]["distance_emb"] = stack(
+            prefix + "attention.self.distance_embedding.weight")
     if cfg.add_cross_attention:
         params["layers"].update({
             "cross_q_w": stack(prefix + "crossattention.self.query.weight",
@@ -236,6 +243,7 @@ def xlnet_config_from_hf(hf_config, softmax_n: float = 0.0,
         layer_norm_eps=hf_config.layer_norm_eps,
         softmax_n=softmax_n,
         dtype=dtype,
+        dropout=getattr(hf_config, "dropout", 0.0),
     )
 
 

@@ -241,3 +241,110 @@ class TestDecoderMode:
         np.testing.assert_allclose(
             out["last_hidden_state"],
             hf_out.last_hidden_state.numpy(), atol=2e-5)
+
+
+class TestTrainingModeAndIntrospection:
+    """Round-3 parity closures (VERDICT round-2 'missing' items): training
+    dropout, head_mask, output_attentions, and relative position embeddings
+    — the reference gets all four through HF's own forward
+    (surgery/_bert.py:75-118); we must reproduce them first-party."""
+
+    def test_head_mask_matches_hf(self, tiny_hf_bert, inputs):
+        ids, mask = inputs
+        hm = np.ones((2, 4), np.float32)  # (n_layers, n_heads)
+        hm[0, 1] = 0.0
+        hm[1, 3] = 0.0
+        with torch.no_grad():
+            hf_out = tiny_hf_bert(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                head_mask=torch.tensor(hm))
+        cfg = bert_config_from_hf(tiny_hf_bert.config)
+        params = bert_params_from_hf(tiny_hf_bert, cfg)
+        out = bert_forward(params, cfg, jnp.asarray(ids),
+                           attention_mask=jnp.asarray(mask),
+                           head_mask=jnp.asarray(hm))
+        np.testing.assert_allclose(
+            out["last_hidden_state"],
+            hf_out.last_hidden_state.numpy(), atol=2e-5)
+
+    def test_output_attentions_matches_hf(self, tiny_hf_bert, inputs):
+        ids, mask = inputs
+        with torch.no_grad():
+            hf_out = tiny_hf_bert(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                output_attentions=True)
+        cfg = bert_config_from_hf(tiny_hf_bert.config)
+        params = bert_params_from_hf(tiny_hf_bert, cfg)
+        out = bert_forward(params, cfg, jnp.asarray(ids),
+                           attention_mask=jnp.asarray(mask),
+                           output_attentions=True)
+        assert out["attentions"].shape == (2, 2, 4, 10, 10)
+        for i, hf_probs in enumerate(hf_out.attentions):
+            np.testing.assert_allclose(
+                out["attentions"][i], hf_probs.numpy(), atol=2e-5)
+
+    @pytest.mark.parametrize("pet", ["relative_key", "relative_key_query"])
+    def test_relative_position_embeddings_match_hf(self, pet):
+        torch.manual_seed(7)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=32, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0, position_embedding_type=pet)
+        model = transformers.BertModel(hf_cfg)
+        model.eval()
+        rng = np.random.RandomState(5)
+        ids = rng.randint(0, 64, size=(2, 9)).astype(np.int32)
+        with torch.no_grad():
+            hf_out = model(input_ids=torch.tensor(ids, dtype=torch.long))
+        cfg = bert_config_from_hf(hf_cfg)
+        assert cfg.position_embedding_type == pet
+        params = bert_params_from_hf(model, cfg)
+        out = bert_forward(params, cfg, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            out["last_hidden_state"],
+            hf_out.last_hidden_state.numpy(), atol=2e-5)
+
+    def test_train_dropout_stochastic_deterministic(self, tiny_hf_bert,
+                                                    inputs):
+        ids, _ = inputs
+        cfg = bert_config_from_hf(tiny_hf_bert.config)
+        cfg = type(cfg)(**{**cfg.__dict__, "attn_dropout": 0.2,
+                           "hidden_dropout": 0.1})
+        params = bert_params_from_hf(tiny_hf_bert, cfg)
+        evl = bert_forward(params, cfg, jnp.asarray(ids))
+        k = jax.random.PRNGKey(0)
+        t1 = bert_forward(params, cfg, jnp.asarray(ids), train=True,
+                          dropout_rng=k)
+        t2 = bert_forward(params, cfg, jnp.asarray(ids), train=True,
+                          dropout_rng=k)
+        t3 = bert_forward(params, cfg, jnp.asarray(ids), train=True,
+                          dropout_rng=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(t1["last_hidden_state"],
+                                   t2["last_hidden_state"])
+        assert not np.allclose(t1["last_hidden_state"],
+                               evl["last_hidden_state"])
+        assert not np.allclose(t1["last_hidden_state"],
+                               t3["last_hidden_state"])
+        with pytest.raises(ValueError, match="dropout_rng"):
+            bert_forward(params, cfg, jnp.asarray(ids), train=True)
+
+    def test_train_dropout_grads_flow(self, tiny_hf_bert, inputs):
+        # fine-tune viability: d(loss)/d(params) exists and is finite under
+        # dropout — the surgery -> fine-tune workflow of the reference
+        ids, _ = inputs
+        cfg = bert_config_from_hf(tiny_hf_bert.config, softmax_n=1.0)
+        cfg = type(cfg)(**{**cfg.__dict__, "attn_dropout": 0.2})
+        params = bert_params_from_hf(tiny_hf_bert, cfg)
+
+        def loss(p):
+            out = bert_forward(p, cfg, jnp.asarray(ids), train=True,
+                               dropout_rng=jax.random.PRNGKey(0))
+            return jnp.sum(out["last_hidden_state"] ** 2)
+
+        grads = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
