@@ -41,6 +41,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+    flash_attention_block_grads,
+    flash_attention_n_fused,
+)
+
 __all__ = ["ring_attention_n"]
 
 NEG_INF = -1e30
@@ -71,19 +76,30 @@ def _repeat_heads(x, reps):
                             ).reshape(b, kvh * reps, s, e)
 
 
-def _local_attention_block(q, k, v, scale, mode):
+def _local_attention_block(q, k, v, scale, mode, impl):
     """softmax-0 partial attention of local q against one visiting kv block.
 
     Returns (o, lse) with lse = log(sum_j exp(s_j)) (n=0 statistics).
     GQA: k/v may carry fewer heads than q (H % KVH == 0) — the ring
     rotates the SMALL tensors and each block repeats them locally, so
     ppermute traffic shrinks by the group factor.
+
+    impl='pallas' runs the fused flash kernel per block (the block-merge
+    invariant SURVEY §5 names: the kernel's own (m, l) recurrence IS the
+    ring's associative merge, so its (o, lse) plug straight in) — O(block)
+    memory per device instead of the XLA path's (B, H, Lq, Lk) scores.
     """
     reps = q.shape[1] // k.shape[1]
 
     def _attend(is_causal):
         def branch(q, k, v):
             k, v = _repeat_heads(k, reps), _repeat_heads(v, reps)
+            if impl == "pallas":
+                o, lse = flash_attention_n_fused(
+                    q, k, v, softmax_n_param=0.0, scale=scale,
+                    is_causal=is_causal, return_residuals=True)
+                return (_pcast_varying(o.astype(q.dtype), q),
+                        _pcast_varying(lse, q))
             s = jnp.einsum("bhle,bhse->bhls", q, k,
                            preferred_element_type=jnp.float32) * scale
             if is_causal:
@@ -110,7 +126,7 @@ def _local_attention_block(q, k, v, scale, mode):
 def _ring_fwd_impl(cfg, q, k, v) -> Tuple[jax.Array, jax.Array]:
     """Forward ring: returns (out, lse_n) with lse_n the GLOBAL softmax-N
     logsumexp per local query row — p_ij == exp(s_ij - lse_n_i) exactly."""
-    axis_name, scale, n, is_causal = cfg
+    axis_name, scale, n, is_causal, impl = cfg
     p = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
 
@@ -119,7 +135,8 @@ def _ring_fwd_impl(cfg, q, k, v) -> Tuple[jax.Array, jax.Array]:
         #   o_tilde = sum_seen exp(s - m) v;  l = sum_seen exp(s - m)
         o_tilde, m, l, k_cur, v_cur = carry
         mode = _block_mode(is_causal, p, my, t)
-        o_b, lse_b = _local_attention_block(q, k_cur, v_cur, scale, mode)
+        o_b, lse_b = _local_attention_block(q, k_cur, v_cur, scale, mode,
+                                            impl)
 
         # fold: block contributes exp(lse_b - m_new) * o_b (o_b is the
         # block-normalized output, so o_b * exp(lse_b) is its raw sum)
@@ -162,11 +179,15 @@ def _ring_fwd_impl(cfg, q, k, v) -> Tuple[jax.Array, jax.Array]:
     return out.astype(q.dtype), lse_n
 
 
-def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
+def _block_grads(q, k, v, out, dout, lse_n, delta, scale, mode, impl):
     """Per-block flash backward against the GLOBAL lse: recompute
     p = exp(s - lse_n) (true softmax-N probabilities), then
     ds = p ∘ (dout·vᵀ − delta). delta = Σ dout·out is exact for
-    softmax-N because the phantom key's value row is zero."""
+    softmax-N because the phantom key's value row is zero.
+
+    impl='pallas' routes the tile math through the flash backward kernels
+    (kernels/flash_attention.flash_attention_block_grads) — no (B, H, Lq,
+    Lk) score/probability tensors in HBM."""
 
     reps = q.shape[1] // k.shape[1]
 
@@ -178,6 +199,17 @@ def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
         return jnp.sum(g.reshape(b, h // reps, reps, s, e), axis=2)
 
     def _grads(is_causal):
+        def branch_pallas(q, k, v, dout, lse_n, delta):
+            del delta  # the kernel recomputes rowsum(dout*out) internally
+            kk = _repeat_heads(k, reps)
+            vv = _repeat_heads(v, reps)
+            dq_b, dk_b, dv_b = flash_attention_block_grads(
+                q, kk, vv, out, lse_n, dout, scale=scale,
+                is_causal=is_causal)
+            return (_pcast_varying(dq_b.astype(jnp.float32), q),
+                    _pcast_varying(_group_sum(dk_b.astype(jnp.float32)), q),
+                    _pcast_varying(_group_sum(dv_b.astype(jnp.float32)), q))
+
         def branch(q, k, v, dout, lse_n, delta):
             k = _repeat_heads(k, reps)
             v = _repeat_heads(v, reps)
@@ -198,7 +230,7 @@ def _block_grads(q, k, v, dout, lse_n, delta, scale, mode):
             dk_b = jnp.einsum("bhls,bhle->bhse", ds,
                               q.astype(jnp.float32)) * scale
             return dq_b, _group_sum(dk_b), _group_sum(dv_b)
-        return branch
+        return branch_pallas if impl == "pallas" else branch
 
     def _skip(q, k, v, dout, lse_n, delta):
         z = lambda shape: _pcast_varying(jnp.zeros(shape, jnp.float32), q)
@@ -221,7 +253,7 @@ def _ring_local_fwd(cfg, q, k, v):
 
 
 def _ring_local_bwd(cfg, res, dout):
-    axis_name, scale, n, is_causal = cfg
+    axis_name, scale, n, is_causal, impl = cfg
     q, k, v, out, lse_n = res
     p = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -231,8 +263,8 @@ def _ring_local_bwd(cfg, res, dout):
     def step(carry, t):
         k_cur, v_cur, dk_cur, dv_cur, dq = carry
         mode = _block_mode(is_causal, p, my, t)
-        dq_b, dk_b, dv_b = _block_grads(q, k_cur, v_cur, dout, lse_n,
-                                        delta, scale, mode)
+        dq_b, dk_b, dv_b = _block_grads(q, k_cur, v_cur, out, dout, lse_n,
+                                        delta, scale, mode, impl)
         dq = dq + dq_b
         dk_cur = dk_cur + dk_b
         dv_cur = dv_cur + dv_b
@@ -276,16 +308,31 @@ def ring_attention_n(
     q/k/v (B, H, L, E) logically; physically sharded (B, H, L/p, E) over
     ``axis_name``. Returns the attention output with the same sharding as q.
     Differentiable end to end via the ring-aware custom VJP (module
-    docstring); per-block compute is the XLA formulation on every backend
-    (``implementation`` is accepted for API stability and ignored — the
-    Pallas kernel's residual outputs currently carry neither the lse
-    cotangent nor the vma typing shard_map requires).
+    docstring).
+
+    ``implementation``: 'pallas' runs the fused flash kernel per visiting
+    block (forward: (o, lse) partials; backward: the flash backward kernels
+    against the global lse via flash_attention_block_grads) — per-device
+    memory stays O(block), never (B, H, Lq, Lk). 'xla' materializes
+    per-block scores. 'auto' picks pallas on TPU when E == Ev, else xla
+    (on CPU the kernel would run in interpret mode — correct but slow).
     """
-    del implementation
+    if implementation not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            f"unknown implementation {implementation!r}; "
+            "expected 'auto', 'pallas', or 'xla'")
+    can_pallas = q.shape[-1] == v.shape[-1]
+    if implementation == "pallas" and not can_pallas:
+        raise ValueError("pallas ring path requires E == Ev; use "
+                         "implementation='xla'")
+    if implementation == "auto":
+        implementation = ("pallas" if can_pallas
+                          and jax.default_backend() == "tpu" else "xla")
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    cfg = (axis_name, float(scale), float(softmax_n_param), bool(is_causal))
+    cfg = (axis_name, float(scale), float(softmax_n_param), bool(is_causal),
+           implementation)
     spec = P(None, None, axis_name, None)
     # only the ring axis goes manual; any other mesh axes (data/model in a
     # combined TP x DP x SP train step) stay under GSPMD control, so batch
@@ -294,4 +341,8 @@ def ring_attention_n(
         functools.partial(_ring_local, cfg), mesh=mesh,
         in_specs=(spec, spec, spec), out_specs=spec,
         axis_names=frozenset({axis_name}),
+        # pallas_call emits vma-less out avals (cf. ops/flash_attention's
+        # meshed path); the ring's carries are retyped defensively by
+        # _pcast_varying, which no-ops when the check is off
+        check_vma=(implementation != "pallas"),
     )(q, k, v)

@@ -454,3 +454,104 @@ class TestRound2MosaicPaths:
             @ (qt.values.astype(jnp.float32) * qt.scales), -1)
         out = jax.jit(lambda x: _sharded_lm_head_argmax(x, qt, mesh))(x)
         np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(ref))
+
+
+@requires_tpu
+class TestRound3MosaicPaths:
+    """Round-3 Pallas additions: the ring-attention kernel route (fused
+    forward partials + flash_attention_block_grads backward under a
+    1-device 'sp' shard_map). Interpret mode already validates numerics;
+    these compile the same programs through Mosaic."""
+
+    def test_block_grads_kernel(self):
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_block_grads,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import (
+            slow_attention_n,
+        )
+        b, h, l, s, e = 2, 4, 256, 384, 64
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        q = 0.3 * jax.random.normal(ks[0], (b, h, l, e), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (b, h, s, e), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (b, h, s, e), jnp.float32)
+        do = jax.random.normal(ks[3], (b, h, l, e), jnp.float32)
+        n, scale = 1.0, e ** -0.5
+
+        def ref(q, k, v):
+            return slow_attention_n(q, k, v, softmax_n_param=n,
+                                    is_causal=True)
+
+        out = ref(q, k, v)
+        sc = jnp.einsum("bhle,bhse->bhls", q, k) * scale
+        mask = jnp.tril(jnp.ones((l, s), bool), k=s - l)
+        sc = jnp.where(mask, sc, -1e30)
+        m = jnp.max(sc, -1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(sc - m[..., None]), -1)
+                          + n * jnp.exp(-m))
+        want = jax.vjp(ref, q, k, v)[1](do)
+        got = jax.jit(lambda *a: flash_attention_block_grads(
+            *a, scale=scale, is_causal=True))(q, k, v, out, lse, do)
+        for g, w in zip(got, want):
+            assert float(jnp.max(jnp.abs(g - w))) < 5e-3
+
+    def test_ring_pallas_one_device_mesh(self):
+        from jax.sharding import Mesh
+
+        from flash_attention_softmax_n_tpu.ops.functional import (
+            slow_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.parallel.ring_attention import (
+            ring_attention_n,
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+        ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        q = 0.3 * jax.random.normal(ks[0], (1, 4, 512, 64), jnp.float32)
+        k = 0.3 * jax.random.normal(ks[1], (1, 2, 512, 64), jnp.float32)
+        v = 0.3 * jax.random.normal(ks[2], (1, 2, 512, 64), jnp.float32)
+        rep = lambda x: jnp.repeat(x, 2, axis=1)
+
+        def loss(q, k, v):
+            out = ring_attention_n(q, k, v, mesh=mesh, axis_name="sp",
+                                   softmax_n_param=1.0, is_causal=True,
+                                   implementation="pallas")
+            return jnp.sum(out ** 2), out
+
+        def oracle(q, k, v):
+            out = slow_attention_n(q, rep(k), rep(v), softmax_n_param=1.0,
+                                   is_causal=True)
+            return jnp.sum(out ** 2), out
+
+        (_, out), got = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True))(q, k, v)
+        (_, want_out), want = jax.value_and_grad(
+            oracle, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        assert float(jnp.max(jnp.abs(out - want_out))) < 5e-3
+        for g, w in zip(got, want):
+            assert float(jnp.max(jnp.abs(g - w))) < 5e-3
+
+    def test_model_dropout_train_step(self):
+        # decoder fine-tune step: in-kernel hash dropout through the
+        # Pallas VJP at a serving-like shape, lowered by Mosaic
+        import dataclasses
+
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, decoder_forward, init_decoder_params,
+        )
+        cfg = DecoderConfig(
+            vocab_size=256, d_model=256, n_layers=2, n_heads=4,
+            n_kv_heads=4, d_ff=512, max_seq_len=512, softmax_n=1.0,
+            dtype=jnp.bfloat16, attn_implementation="pallas",
+            attn_dropout=0.1)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 512), 0, 256)
+
+        def loss(p):
+            lg = decoder_forward(p, cfg, tokens, train=True,
+                                 dropout_rng=jax.random.PRNGKey(2))
+            return jnp.mean(lg.astype(jnp.float32) ** 2)
+
+        grads = jax.jit(jax.grad(loss))(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all())
+                   for g in leaves)
