@@ -31,15 +31,23 @@ __all__ = ["causal_lm_loss", "make_train_step", "TrainState"]
 
 def causal_lm_loss(params: Dict, cfg: DecoderConfig,
                    tokens: jax.Array, *, sp_mesh=None,
-                   sp_axis: str = "sp", tp_mesh=None) -> jax.Array:
+                   sp_axis: str = "sp", tp_mesh=None,
+                   train: bool = False,
+                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Next-token cross-entropy over (B, L) tokens (shift-by-one).
 
     ``sp_mesh``/``sp_axis``: run attention sequence-parallel (ring
     attention over the mesh axis); ``tp_mesh``: shard_map the fused
     Pallas attention over (data, model) — see decoder_forward.
+
+    ``train=True`` + ``dropout_rng``: fine-tuning mode — activates
+    ``cfg.attn_dropout`` in the model (the reference keeps its patched
+    modules' nn.Dropout live for composer fine-tuning, surgery/_bert.py:102).
     """
     logits = decoder_forward(params, cfg, tokens, sp_mesh=sp_mesh,
-                             sp_axis=sp_axis, tp_mesh=tp_mesh)  # (B, L, V)
+                             sp_axis=sp_axis, tp_mesh=tp_mesh,
+                             train=train,
+                             dropout_rng=dropout_rng)  # (B, L, V)
     targets = tokens[:, 1:]
     logits = logits[:, :-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -89,29 +97,41 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         opt_state = tx.init(params)
         return params, opt_state
 
-    def step(params, opt_state, tokens):
+    def step(params, opt_state, tokens, dropout_rng=None):
         loss, grads = jax.value_and_grad(causal_lm_loss)(
             params, cfg, tokens,
             sp_mesh=mesh if sp_axis is not None else None,
             sp_axis=sp_axis or "sp",
             # non-SP: partition the fused Pallas attention (if selected)
             # over (data, model) — GSPMD can't split a pallas_call
-            tp_mesh=mesh if sp_axis is None else None)
+            tp_mesh=mesh if sp_axis is None else None,
+            train=dropout_rng is not None,
+            dropout_rng=dropout_rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def sharded_step(params, opt_state, tokens):
+    def sharded_step(params, opt_state, tokens, dropout_rng=None):
+        """One sharded update. Passing ``dropout_rng`` (a PRNGKey, e.g.
+        jax.random.fold_in(base, step)) runs the model in training mode
+        with cfg.attn_dropout active — the surgery -> fine-tune workflow;
+        omitting it keeps the round-2 eval-mode signature."""
         specs = decoder_param_specs(params)
         p_shardings = param_shardings(params, specs, mesh)
         data_axes = (("data",) if dcn_data_axis is None
                      else (dcn_data_axis, "data"))
         token_spec = P(data_axes, sp_axis)  # sp_axis None = seq replicated
         token_sharding = NamedSharding(mesh, token_spec)
+        if dropout_rng is None:
+            return jax.jit(
+                step,
+                in_shardings=(p_shardings, None, token_sharding),
+                out_shardings=(p_shardings, None, None),
+            )(params, opt_state, tokens)
         return jax.jit(
             step,
-            in_shardings=(p_shardings, None, token_sharding),
+            in_shardings=(p_shardings, None, token_sharding, None),
             out_shardings=(p_shardings, None, None),
-        )(params, opt_state, tokens)
+        )(params, opt_state, tokens, dropout_rng)
 
     return init, sharded_step

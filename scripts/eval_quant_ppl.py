@@ -112,7 +112,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=700)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode-eval-batches", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (e.g. while the TPU relay is wedged)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     data = load_corpus()
     split = int(len(data) * 0.95)

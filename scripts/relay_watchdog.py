@@ -51,6 +51,7 @@ QUEUE = [
     ("bench_2", [sys.executable, "bench.py"], 1800),
     ("sweep_prefill", [sys.executable, "scripts/sweep_prefill_flash.py"],
      1800),
+    ("bench_ring", [sys.executable, "scripts/bench_ring_attn.py"], 1500),
 ]
 
 

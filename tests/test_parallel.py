@@ -741,3 +741,36 @@ class TestRingAttentionPallasImpl:
         with pytest.raises(ValueError, match="E == Ev"):
             ring_attention_n(q, q, v, mesh=mesh, axis_name="sp",
                              implementation="pallas")
+
+
+class TestFineTuneTrainStep:
+    """make_train_step with dropout_rng (round-3): the surgery -> fine-tune
+    loop the reference runs through composer (its patched modules keep
+    nn.Dropout live, surgery/_bert.py:102) on the TP x DP mesh."""
+
+    def test_dropout_step_updates_and_is_deterministic(self):
+        require_devices(8)
+        import dataclasses
+        from flash_attention_softmax_n_tpu.parallel import make_train_step
+        cfg = dataclasses.replace(TINY, attn_dropout=0.2)
+        mesh = make_mesh({"data": 2, "model": 4})
+        init, step = make_train_step(cfg, mesh, learning_rate=1e-3)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        params, opt_state = init(params)
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+
+        key = jax.random.PRNGKey(7)
+        _, _, l1 = step(params, opt_state, tokens, dropout_rng=key)
+        _, _, l2 = step(params, opt_state, tokens, dropout_rng=key)
+        _, _, l3 = step(params, opt_state, tokens,
+                        dropout_rng=jax.random.PRNGKey(8))
+        _, _, l_eval = step(params, opt_state, tokens)
+        assert float(l1) == pytest.approx(float(l2))
+        assert float(l1) != pytest.approx(float(l_eval))
+        assert float(l1) != pytest.approx(float(l3))
+
+        # params actually move and stay sharded
+        new_params, _, _ = step(params, opt_state, tokens, dropout_rng=key)
+        moved = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)), params, new_params)
+        assert any(jax.tree_util.tree_leaves(moved))
