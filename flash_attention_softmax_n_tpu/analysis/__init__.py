@@ -12,14 +12,17 @@ from flash_attention_softmax_n_tpu.analysis.hooks import (
 )
 from flash_attention_softmax_n_tpu.analysis.io import load_results, save_results
 from flash_attention_softmax_n_tpu.analysis.statistics import (
+    attention_entropy,
     central_moment,
     kurtosis,
     kurtosis_batch_mean,
     mean_batch_mean,
+    null_attention_mass,
     skewness,
     skewness_batch_mean,
     standardized_moment,
     std,
+    summarize_attention,
     variance,
     variance_batch_mean,
 )
@@ -45,4 +48,7 @@ __all__ = [
     "variance_batch_mean",
     "skewness_batch_mean",
     "kurtosis_batch_mean",
+    "null_attention_mass",
+    "attention_entropy",
+    "summarize_attention",
 ]

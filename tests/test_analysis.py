@@ -243,3 +243,65 @@ class TestXLNetAnalysisIntegration:
         assert set(report) == set(names)
         for entry in report.values():
             assert {"kurtosis", "int8_ok", "int4_ok", "fp8_ok"} <= set(entry)
+
+
+class TestAttentionProbabilityStats:
+    """Round-3: measuring the softmax-N mechanism directly on the
+    probabilities the models expose via output_attentions — the phantom
+    key's mass is the 'attention to nothing' the reference's motivating
+    paper is about (README.md:4)."""
+
+    def test_null_mass_zero_for_softmax0(self):
+        import jax
+        from flash_attention_softmax_n_tpu.analysis import (
+            null_attention_mass,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        s = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 8))
+        p0 = softmax_n(s, n=0.0, axis=-1)
+        np.testing.assert_allclose(null_attention_mass(p0),
+                                   np.zeros((2, 3, 4)), atol=1e-6)
+
+    def test_null_mass_analytic(self):
+        # constant scores 0 over S keys with n: mass = n / (n + S)
+        from flash_attention_softmax_n_tpu.analysis import (
+            null_attention_mass,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        S, n = 8, 4.0
+        p = softmax_n(jnp.zeros((1, S)), n=n, axis=-1)
+        np.testing.assert_allclose(null_attention_mass(p),
+                                   [n / (n + S)], rtol=1e-6)
+
+    def test_entropy_uniform_with_phantom(self):
+        from flash_attention_softmax_n_tpu.analysis import attention_entropy
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        # n=1, S keys at score 0 -> S+1 equally-likely outcomes
+        S = 7
+        p = softmax_n(jnp.zeros((1, S)), n=1.0, axis=-1)
+        np.testing.assert_allclose(attention_entropy(p),
+                                   [np.log(S + 1)], rtol=1e-5)
+
+    def test_summarize_from_model_output(self):
+        import jax
+        from flash_attention_softmax_n_tpu.analysis import (
+            summarize_attention,
+        )
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig, decoder_forward, init_decoder_params,
+        )
+        cfg = DecoderConfig(
+            vocab_size=61, d_model=32, n_layers=2, n_heads=4, n_kv_heads=2,
+            d_ff=64, max_seq_len=32, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="xla")
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 61)
+        _, probs = decoder_forward(params, cfg, tokens,
+                                   output_attentions=True)
+        stats = summarize_attention(probs)
+        assert stats["null_mass_mean"].shape == (2, 4)
+        m = np.asarray(stats["null_mass_mean"])
+        assert (m > 0).all() and (m < 1).all()  # softmax-1: real null mass
+        assert (np.asarray(stats["null_mass_max"]) >= m - 1e-6).all()
+        with pytest.raises(ValueError, match="attention"):
+            summarize_attention(jnp.zeros((3, 4, 5)))
