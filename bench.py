@@ -444,6 +444,7 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     # relay is noisy (occasional multi-hundred-ms stalls), and the best
     # wave is the one that reflects the engine rather than the link
     rates = []
+    eng.profile_report()  # reset after the compile/settle waves
     for _ in range(2):
         toks, dt = wave(n_requests)
         rates.append(toks / dt)
@@ -451,6 +452,11 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
         f"{max(rates):.0f} tok/s end-to-end warm "
         f"(waves: {[f'{r:.0f}' for r in rates]}; "
         f"first incl. compiles: {toks_w/dt_w:.0f})")
+    # where does wall-clock go? (dispatch phases ~0 = overlap works;
+    # chunk_sync should be ~pure device compute)
+    for phase, row in eng.profile_report().items():
+        log(f"  churn phase {phase:15s}: {row['total_s']:7.3f}s total, "
+            f"{row['count']:4d}x, {row['mean_ms']:7.2f} ms/ea")
     return max(rates)
 
 

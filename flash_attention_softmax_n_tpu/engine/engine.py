@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import time
 from collections import deque
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -727,6 +728,11 @@ class InferenceEngine:
         self._lengths_host = _np.zeros((max_batch,), _np.int64)
         self._next_token = jnp.zeros((max_batch,), jnp.int32)
         self._rng = jax.random.PRNGKey(0)
+        # per-phase wall-clock accounting of the fused serving loop —
+        # answers "where does end-to-end churn time go" (dispatch phases
+        # should be ~free; the syncs are where serialization hides)
+        self.phase_times: Dict[str, float] = {}
+        self.phase_counts: Dict[str, int] = {}
 
         if kv_quantization is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
@@ -831,6 +837,14 @@ class InferenceEngine:
         """
         done = []
         steps_left = max_steps
+        tic = time.perf_counter
+
+        def _t(phase, t0):
+            dt = tic() - t0
+            self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
+            self.phase_counts[phase] = self.phase_counts.get(phase, 0) + 1
+            return tic()
+
         while steps_left > 0:
             if loop_steps is not None:
                 # dispatch order is the overlap: prefills launch, the
@@ -838,26 +852,51 @@ class InferenceEngine:
                 # dependency through the donated cache), and only THEN
                 # does the host sync on either — admission cost hides
                 # under the chunk's dispatch window
+                t0 = tic()
                 pending = self._admit_async()
+                t0 = _t("admit_dispatch", t0)
                 if not any(s is not None for s in self.slots):
                     done.extend(self._finalize_admission(pending))
+                    _t("admit_sync", t0)
                     if not self.queue:
                         break
                     steps_left -= 1  # admission-only iteration still counts
                     continue
                 chunk = self._fused_chunk_len(loop_steps)
+                t0 = _t("chunk_plan", t0)
                 if chunk:
                     handle = self._dispatch_chunk(chunk)
+                    t0 = _t("chunk_dispatch", t0)
                     done.extend(self._finalize_admission(pending))
+                    t0 = _t("admit_sync", t0)
                     done.extend(self._finalize_chunk(handle))
+                    _t("chunk_sync", t0)
                     steps_left -= chunk
                     continue
                 done.extend(self._finalize_admission(pending))
+                _t("admit_sync", t0)
             done.extend(self.step())
             steps_left -= 1
             if not self.queue and all(s is None for s in self.slots):
                 break
         return done
+
+    def profile_report(self, reset: bool = True) -> Dict[str, Dict]:
+        """Per-phase wall-clock of the fused serving loop since the last
+        reset: {phase: {'total_s', 'count', 'mean_ms'}}. Phases:
+        admit_dispatch (host scheduling + prefill launches, no sync),
+        chunk_plan (host-only chunk sizing), chunk_dispatch (decode-loop
+        launch, no sync), admit_sync (first-token sync of this round's
+        prefills), chunk_sync (device_get of the chunk's tokens +
+        bookkeeping). Healthy overlap = the two dispatch phases near zero
+        and chunk_sync dominated by actual device compute."""
+        rep = {k: {"total_s": v, "count": self.phase_counts.get(k, 0),
+                   "mean_ms": v / max(self.phase_counts.get(k, 1), 1) * 1e3}
+               for k, v in sorted(self.phase_times.items())}
+        if reset:
+            self.phase_times = {}
+            self.phase_counts = {}
+        return rep
 
     # -- fused-loop serving internals ----------------------------------------
 

@@ -52,6 +52,7 @@ QUEUE = [
     ("sweep_prefill", [sys.executable, "scripts/sweep_prefill_flash.py"],
      1800),
     ("bench_ring", [sys.executable, "scripts/bench_ring_attn.py"], 1500),
+    ("probe_mxu", [sys.executable, "scripts/probe_mxu.py"], 1500),
 ]
 
 
