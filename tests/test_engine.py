@@ -417,6 +417,28 @@ class TestLoopServing:
         assert outs[0] == expected
         assert outs[1] == reference_tokens(params, prompt, 5)
 
+    def test_profile_report_accounts_loop_phases(self, params):
+        # the churn bench's phase breakdown: every scheduling phase of the
+        # fused loop is counted, totals are positive wall-clock, and
+        # reset=True clears the accumulators
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128)
+        for j in range(3):
+            eng.submit([3 + j, 1, 4], max_new_tokens=10)
+        eng.run_until_done(loop_steps=8)
+        rep = eng.profile_report()
+        assert {"admit_dispatch", "chunk_plan", "chunk_dispatch",
+                "chunk_sync", "admit_sync"} <= set(rep)
+        for phase, row in rep.items():
+            assert row["count"] >= 1, phase
+            assert row["total_s"] >= 0.0
+            assert row["mean_ms"] == pytest.approx(
+                row["total_s"] / row["count"] * 1e3)
+        assert eng.profile_report() == {}  # reset cleared it
+        # the per-step path must not grow phase counters
+        eng.submit([9, 2], max_new_tokens=3)
+        eng.run_until_done()
+        assert eng.profile_report() == {}
+
     def test_max_steps_bounds_work(self, params):
         # the public contract: run_until_done(max_steps=N) terminates
         # after at most N accounting units (chunks count their full
