@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
 __all__ = ["decoder_param_specs", "kv_cache_specs", "shard_pytree",
-           "batch_spec", "param_shardings"]
+           "batch_spec", "param_shardings", "zero1_opt_shardings"]
 
 # leaf name -> (dense spec, scales spec) for stacked (n_layers, K, N) weights
 _DECODER_LAYER_RULES: Dict[str, P] = {
@@ -151,6 +151,70 @@ def shard_pytree(tree, specs, mesh: Mesh):
     ]
     placed = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]
     return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def _zero1_extend(spec: P, shape, mesh: Mesh, data_axis: str) -> P:
+    """Add ``data_axis`` to a param spec on the largest unsharded, divisible
+    dim — the ZeRO-1 placement for that param's optimizer moments. Falls back
+    to the unextended spec when no dim divides (small norms etc. stay
+    replicated; they're negligible memory)."""
+    flat = [a for e in spec if e is not None
+            for a in (e if isinstance(e, tuple) else (e,))]
+    if data_axis in flat:
+        return spec
+    size = mesh.shape[data_axis]
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_dim = 0, None
+    for i, (e, d) in enumerate(zip(entries, shape)):
+        if e is None and d % size == 0 and d > best:
+            best, best_dim = d, i
+    if best_dim is None:
+        return P(*entries)
+    entries[best_dim] = data_axis
+    return P(*entries)
+
+
+def zero1_opt_shardings(opt_state, params, specs, mesh: Mesh,
+                        data_axis: str = "data"):
+    """NamedSharding pytree for an optax state under ZeRO-1.
+
+    Optimizer moments (any opt-state subtree mirroring the params pytree —
+    Adam's mu/nu, etc.) get their param's TP spec EXTENDED with
+    ``data_axis`` on the largest free dim, so each DP rank stores 1/dp of
+    the moments (ZeRO-1 / optimizer-state sharding). XLA then turns the
+    moment update into reduce-scatter(grads) + sharded update and the
+    weight application into an all-gather — no user-space collectives,
+    same numerics as replicated Adam.
+
+    Matching is structural: an opt-state leaf whose tree path ends with a
+    param's path (and has its shape) is that param's moment; everything
+    else (step counts, empty states) is replicated.
+    """
+    p_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    spec_leaves = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    by_path = {}
+    for (path, leaf), spec in zip(p_flat, spec_leaves):
+        by_path[tuple(str(k) for k in path)] = (spec, tuple(leaf.shape))
+
+    o_flat, o_treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for path, leaf in o_flat:
+        keys = tuple(str(k) for k in path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = None
+        for start in range(len(keys)):
+            hit = by_path.get(keys[start:])
+            if hit is not None and hit[1] == shape:
+                spec = hit[0]
+                break
+        if spec is None:
+            out.append(NamedSharding(mesh, P()))
+            continue
+        fitted = _fit_spec(spec, shape, mesh)
+        out.append(NamedSharding(
+            mesh, _zero1_extend(fitted, shape, mesh, data_axis)))
+    return jax.tree_util.tree_unflatten(o_treedef, out)
 
 
 def param_shardings(params, specs, mesh: Mesh):

@@ -24,6 +24,7 @@ from flash_attention_softmax_n_tpu.parallel.sharding import (
     decoder_param_specs,
     param_shardings,
     shard_pytree,
+    zero1_opt_shardings,
 )
 
 __all__ = ["causal_lm_loss", "make_train_step", "TrainState"]
@@ -67,7 +68,8 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
                     learning_rate: float = 1e-4,
                     optimizer: Optional[optax.GradientTransformation] = None,
                     sp_axis: Optional[str] = None,
-                    dcn_data_axis: Optional[str] = None):
+                    dcn_data_axis: Optional[str] = None,
+                    zero1: bool = False):
     """Build (sharded_init, sharded_step) for TP x DP (x SP) training.
 
     ``sharded_init(params)`` -> (params, opt_state) placed on the mesh.
@@ -85,6 +87,14 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
     (dcn_data_axis, 'data') jointly; params stay replicated across it, so
     the only DCN traffic is the per-step gradient all-reduce (the >=85%
     host-scaling layout).
+
+    ``zero1``: shard the optimizer moments over the 'data' (ICI) axis on
+    top of their TP spec — ZeRO-1 / optimizer-state sharding. Params stay
+    DP-replicated; XLA lowers the moment update to
+    reduce-scatter(grads) -> sharded Adam -> all-gather(updates), cutting
+    optimizer memory per chip by the DP degree with identical numerics.
+    (Moments are never sharded over ``dcn_data_axis`` — the per-step
+    gather would ride DCN.)
     """
     tx = optimizer or optax.adamw(learning_rate)
     for ax in (sp_axis, dcn_data_axis):
@@ -95,6 +105,10 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         specs = decoder_param_specs(params)
         params = shard_pytree(params, specs, mesh)
         opt_state = tx.init(params)
+        if zero1:
+            opt_state = jax.device_put(
+                opt_state,
+                zero1_opt_shardings(opt_state, params, specs, mesh))
         return params, opt_state
 
     def step(params, opt_state, tokens, dropout_rng=None):
@@ -118,6 +132,8 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         omitting it keeps the round-2 eval-mode signature."""
         specs = decoder_param_specs(params)
         p_shardings = param_shardings(params, specs, mesh)
+        o_shardings = (zero1_opt_shardings(opt_state, params, specs, mesh)
+                       if zero1 else None)
         data_axes = (("data",) if dcn_data_axis is None
                      else (dcn_data_axis, "data"))
         token_spec = P(data_axes, sp_axis)  # sp_axis None = seq replicated
@@ -125,13 +141,13 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         if dropout_rng is None:
             return jax.jit(
                 step,
-                in_shardings=(p_shardings, None, token_sharding),
-                out_shardings=(p_shardings, None, None),
+                in_shardings=(p_shardings, o_shardings, token_sharding),
+                out_shardings=(p_shardings, o_shardings, None),
             )(params, opt_state, tokens)
         return jax.jit(
             step,
-            in_shardings=(p_shardings, None, token_sharding, None),
-            out_shardings=(p_shardings, None, None),
+            in_shardings=(p_shardings, o_shardings, token_sharding, None),
+            out_shardings=(p_shardings, o_shardings, None),
         )(params, opt_state, tokens, dropout_rng)
 
     return init, sharded_step

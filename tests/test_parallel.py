@@ -405,6 +405,35 @@ class TestTrainStep:
         _, _, loss2 = step(p1, o1, tokens)
         assert float(loss2) < float(loss)
 
+    def test_zero1_matches_replicated_and_shards_moments(self):
+        # ZeRO-1: Adam moments shard over 'data' on top of TP — identical
+        # update numerics (XLA reduce-scatters grads into the sharded
+        # moments, all-gathers the updates), 1/dp the moment bytes per chip
+        require_devices(8)
+        mesh = make_mesh({"data": 4, "model": 2})
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+
+        losses = {}
+        for z in (False, True):
+            params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+            init, step = make_train_step(TINY, mesh, learning_rate=1e-2,
+                                         zero1=z)
+            params, opt_state = init(params)
+            ls = []
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state, tokens)
+                ls.append(float(loss))
+            losses[z] = ls
+            if z:
+                mu = opt_state[0].mu
+                wq = mu["layers"]["wq"]
+                assert "data" in tuple(wq.sharding.spec)  # DP-sharded
+                shard = wq.addressable_shards[0].data
+                assert shard.size == wq.size // 8  # 1/(dp*tp) per chip
+                # step count stays a replicated scalar
+                assert opt_state[0].count.sharding.spec == P()
+        np.testing.assert_allclose(losses[False], losses[True], rtol=1e-5)
+
     def test_sp_axis_must_exist(self):
         require_devices(8)
         mesh = make_mesh({"data": 2, "model": 4})
