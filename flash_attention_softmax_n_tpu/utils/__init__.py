@@ -1,6 +1,8 @@
 from flash_attention_softmax_n_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_train_checkpoint,
     save_checkpoint,
+    save_train_checkpoint,
 )
 from flash_attention_softmax_n_tpu.utils.profiling import (
     V5E,
@@ -14,6 +16,8 @@ from flash_attention_softmax_n_tpu.utils.profiling import (
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "save_train_checkpoint",
+    "load_train_checkpoint",
     "trace",
     "measure",
     "attention_roofline",

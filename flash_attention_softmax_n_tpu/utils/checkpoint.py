@@ -28,7 +28,8 @@ from flash_attention_softmax_n_tpu.models.decoder import DecoderConfig
 from flash_attention_softmax_n_tpu.models.xlnet import XLNetConfig
 from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint",
+           "save_train_checkpoint", "load_train_checkpoint"]
 
 _CONFIG_TYPES = {"DecoderConfig": DecoderConfig, "BertConfig": BertConfig,
                  "XLNetConfig": XLNetConfig}
@@ -94,15 +95,10 @@ def _unflatten_params(flat: Dict[str, np.ndarray], structure: Dict):
     return build("")
 
 
-def save_checkpoint(directory: str, config, params,
-                    metadata: Dict[str, Any] | None = None) -> Path:
-    """Write config + params (+ user metadata) under ``directory``."""
-    out = Path(directory)
-    out.mkdir(parents=True, exist_ok=True)
-    flat, structure = _flatten_params(params)
-
-    # npz for portability (no orbax version coupling for the array payload;
-    # bf16 stored via uint16 view)
+def _save_npz(path: Path, flat: Dict[str, np.ndarray]) -> Dict[str, str]:
+    """npz for portability (no orbax version coupling for the array payload;
+    bf16/fp8 stored via integer views). Returns the dtype map needed to
+    reverse the views on load."""
     arrays = {}
     dtypes = {}
     for k, v in flat.items():
@@ -115,8 +111,32 @@ def save_checkpoint(directory: str, config, params,
         else:
             arrays[k] = v
             dtypes[k] = str(v.dtype)
-    np.savez(out / "params.npz", **{k.replace("/", "|"): v
-                                    for k, v in arrays.items()})
+    np.savez(path, **{k.replace("/", "|"): v for k, v in arrays.items()})
+    return dtypes
+
+
+def _load_npz(path: Path, dtypes: Dict[str, str]) -> Dict[str, np.ndarray]:
+    npz = np.load(path)
+    flat = {}
+    for key in npz.files:
+        p = key.replace("|", "/")
+        arr = npz[key]
+        dt = dtypes[p]
+        if dt == "bfloat16":
+            arr = arr.view(jnp.bfloat16)
+        elif dt == "float8_e4m3fn":
+            arr = arr.view(jnp.float8_e4m3fn)
+        flat[p] = arr
+    return flat
+
+
+def save_checkpoint(directory: str, config, params,
+                    metadata: Dict[str, Any] | None = None) -> Path:
+    """Write config + params (+ user metadata) under ``directory``."""
+    out = Path(directory)
+    out.mkdir(parents=True, exist_ok=True)
+    flat, structure = _flatten_params(params)
+    dtypes = _save_npz(out / "params.npz", flat)
 
     blob = {
         "config": _config_to_json(config),
@@ -135,19 +155,65 @@ def load_checkpoint(directory: str):
     out = Path(directory)
     with open(out / "checkpoint.json") as f:
         blob = json.load(f)
-    npz = np.load(out / "params.npz")
-    flat = {}
-    for key in npz.files:
-        path = key.replace("|", "/")
-        arr = npz[key]
-        dt = blob["dtypes"][path]
-        if dt == "bfloat16":
-            arr = arr.view(jnp.bfloat16)
-        elif dt == "float8_e4m3fn":
-            arr = arr.view(jnp.float8_e4m3fn)
-        flat[path] = arr
+    flat = _load_npz(out / "params.npz", blob["dtypes"])
     # JSON round-trips dict keys; restore packed_axis None correctly
     structure = blob["structure"]
     params = _unflatten_params(flat, structure)
     config = _config_from_json(blob["config"])
     return config, params, blob["metadata"]
+
+
+def save_train_checkpoint(directory: str, config, params, opt_state,
+                          step: int = 0,
+                          metadata: Dict[str, Any] | None = None) -> Path:
+    """Full training checkpoint: config + params + optimizer state + step.
+
+    The optax state is an arbitrary pytree of namedtuples; it is saved as
+    positional leaves (host-gathered — sharded/ZeRO-1 states round-trip),
+    so restore needs the SAME optimizer to rebuild the structure
+    (``load_train_checkpoint(..., optimizer=tx)``). The params checkpoint
+    stays independently loadable via plain ``load_checkpoint`` (inference
+    never pays for optimizer bytes).
+    """
+    meta = dict(metadata or {})
+    meta["train_step"] = int(step)
+    out = save_checkpoint(directory, config, params, metadata=meta)
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    flat = {f"leaf_{i:05d}": np.asarray(leaf)
+            for i, leaf in enumerate(leaves)}
+    dtypes = _save_npz(out / "opt_state.npz", flat)
+    with open(out / "opt_state.json", "w") as f:
+        json.dump({"n_leaves": len(leaves), "dtypes": dtypes}, f)
+    return out
+
+
+def load_train_checkpoint(directory: str, optimizer):
+    """Returns (config, params, opt_state, step, metadata).
+
+    ``optimizer`` must be the optax transformation used at save time: its
+    ``init(params)`` rebuilds the state STRUCTURE, which is refilled with
+    the saved leaves (shape/dtype-checked leaf by leaf).
+    """
+    config, params, metadata = load_checkpoint(directory)
+    out = Path(directory)
+    with open(out / "opt_state.json") as f:
+        blob = json.load(f)
+    flat = _load_npz(out / "opt_state.npz", blob["dtypes"])
+    template = optimizer.init(params)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(t_leaves) != blob["n_leaves"]:
+        raise ValueError(
+            f"optimizer structure mismatch: checkpoint has "
+            f"{blob['n_leaves']} leaves, optimizer.init gives "
+            f"{len(t_leaves)} — pass the optimizer used at save time")
+    loaded = []
+    for i, tl in enumerate(t_leaves):
+        arr = flat[f"leaf_{i:05d}"]
+        if tuple(arr.shape) != tuple(np.shape(tl)):
+            raise ValueError(
+                f"opt-state leaf {i} shape {arr.shape} != expected "
+                f"{np.shape(tl)} — optimizer or model changed since save")
+        loaded.append(jnp.asarray(arr))
+    opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
+    return (config, params, opt_state, metadata.get("train_step", 0),
+            metadata)

@@ -71,6 +71,68 @@ class TestCheckpoint:
                                    atol=1e-5)
 
 
+class TestTrainCheckpoint:
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        # checkpoint/resume invariant: save at step 2, restore, continue —
+        # steps 3..4 must be bit-identical to the uninterrupted run. The
+        # save happens from a ZeRO-1 TP x DP SHARDED state (host-gather on
+        # save, re-shard on restore), the strongest round-trip.
+        import optax
+        from flash_attention_softmax_n_tpu.parallel import make_train_step
+        from flash_attention_softmax_n_tpu.parallel.mesh import make_mesh
+        from flash_attention_softmax_n_tpu.utils import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh({"data": 4, "model": 2})
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 97)
+        tx = optax.adamw(1e-2)
+
+        def run(n, start_params, start_opt):
+            init, step = make_train_step(TINY, mesh, optimizer=tx,
+                                         zero1=True)
+            if start_opt is None:
+                p, o = init(start_params)
+            else:
+                # restored host arrays: the step's in_shardings re-shard
+                # them (params via init, opt state via zero1 specs)
+                p, o = init(start_params)[0], start_opt
+            ls = []
+            for _ in range(n):
+                p, o, loss = step(p, o, tokens)
+                ls.append(float(loss))
+            return p, o, ls
+
+        params0 = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        _, _, straight = run(4, params0, None)
+
+        p2, o2, first2 = run(2, params0, None)
+        save_train_checkpoint(tmp_path / "tc", TINY, p2, o2, step=2,
+                              metadata={"run": "test"})
+        cfg, p_r, o_r, step_r, meta = load_train_checkpoint(
+            tmp_path / "tc", optimizer=tx)
+        assert cfg == TINY and step_r == 2 and meta["run"] == "test"
+        _, _, resumed = run(2, p_r, o_r)
+        np.testing.assert_allclose(first2 + resumed, straight, rtol=1e-6)
+
+    def test_wrong_optimizer_rejected(self, tmp_path):
+        import optax
+        from flash_attention_softmax_n_tpu.utils import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        params = init_decoder_params(TINY, jax.random.PRNGKey(0))
+        tx = optax.adamw(1e-3)
+        save_train_checkpoint(tmp_path / "tc", TINY, params,
+                              tx.init(params))
+        with pytest.raises(ValueError, match="optimizer"):
+            load_train_checkpoint(tmp_path / "tc", optimizer=optax.sgd(1e-3))
+
+
 class TestRoofline:
     def test_memory_bound_decode(self):
         # decode (q_len=1) is memory bound
