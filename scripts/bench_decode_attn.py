@@ -8,6 +8,10 @@ numbers were dominated by a full padded-cache copy per step).
 Usage: timeout 1200 python scripts/bench_decode_attn.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -12,6 +12,10 @@ ceiling.
 Usage: timeout 1500 python scripts/bench_ring_attn.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -11,6 +11,10 @@ transpose orientation. The winner defines the ACHIEVABLE peak that kernel
 Usage: timeout 1500 python scripts/probe_mxu.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -9,6 +9,10 @@ TFLOPS, plus the raw-dot calibration so "% of achievable" is honest.
 Usage: timeout 1500 python scripts/sweep_prefill_flash.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -289,7 +289,12 @@ class TestRound2MosaicPaths:
 
         gf = jax.jit(jax.grad(fused_loss, (0, 1)))(bias, slopes)
         gr = jax.jit(jax.grad(slow_loss, (0, 1)))(bias, slopes)
-        assert float(jnp.max(jnp.abs(gf[0] - gr[0]))) < 5e-3
+        # relative bound: MXU bf16 accumulation differs from the interpret
+        # path's f32 — seen 0.2% rel on real v5e, which is precision, not a
+        # lowering bug (absolute 5e-3 flaked on grads of magnitude ~3.2)
+        db_scale = float(jnp.max(jnp.abs(gr[0])))
+        assert float(jnp.max(jnp.abs(gf[0] - gr[0]))) < 5e-3 * max(
+            1.0, db_scale)
         assert float(jnp.max(jnp.abs(gf[1] - gr[1]))) < 5e-2  # |dist| sums
 
     def test_argmax_return_max(self):
