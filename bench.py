@@ -445,6 +445,7 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     # wave is the one that reflects the engine rather than the link
     rates = []
     eng.profile_report()  # reset after the compile/settle waves
+    eng.counters_report()
     for _ in range(2):
         toks, dt = wave(n_requests)
         rates.append(toks / dt)
@@ -457,6 +458,7 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     for phase, row in eng.profile_report().items():
         log(f"  churn phase {phase:15s}: {row['total_s']:7.3f}s total, "
             f"{row['count']:4d}x, {row['mean_ms']:7.2f} ms/ea")
+    log(f"  churn counters: {eng.counters_report()}")
     return max(rates)
 
 

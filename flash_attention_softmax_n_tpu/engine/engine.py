@@ -733,6 +733,10 @@ class InferenceEngine:
         # should be ~free; the syncs are where serialization hides)
         self.phase_times: Dict[str, float] = {}
         self.phase_counts: Dict[str, int] = {}
+        # scheduling-efficiency counters (host-side increments, ~free):
+        # how much prefill compute is padding and how much fused-chunk
+        # capacity produces kept tokens — the two churn-loss channels
+        self.counters: Dict[str, int] = {}
 
         if kv_quantization is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
@@ -898,6 +902,32 @@ class InferenceEngine:
             self.phase_counts = {}
         return rep
 
+    def counters_report(self, reset: bool = True) -> Dict[str, float]:
+        """Scheduling-efficiency counters since the last reset, plus the
+        two derived loss ratios the churn number hinges on:
+
+        - prefill_pad_waste: fraction of prefill FLOPs spent on padding
+          (duplicate rows filling a group to its compiled batch + prompt
+          rows padded to the bucket/chunk length);
+        - chunk_util: kept tokens / dispatched chunk slot-capacity (empty
+          slots + over-generation discards are the gap; chunk wall-clock
+          is ~independent of live-slot count, so 1-util is pure loss)."""
+        rep: Dict[str, float] = dict(self.counters)
+        if rep.get("prefill_tokens"):
+            rep["prefill_pad_waste"] = round(
+                1.0 - rep.get("prefill_real_tokens", 0)
+                / rep["prefill_tokens"], 4)
+        if rep.get("chunk_capacity_tokens"):
+            rep["chunk_util"] = round(
+                rep.get("chunk_kept_tokens", 0)
+                / rep["chunk_capacity_tokens"], 4)
+            rep["chunk_live_util"] = round(
+                rep.get("chunk_kept_tokens", 0)
+                / max(rep.get("chunk_live_tokens", 1), 1), 4)
+        if reset:
+            self.counters = {}
+        return rep
+
     # -- fused-loop serving internals ----------------------------------------
 
     # scheduling overhead of one loop-chunk boundary, in decode-step units
@@ -1002,6 +1032,12 @@ class InferenceEngine:
         # loop never deactivates slots itself — EOS handling is host-side)
         for i in entry_active:
             self._lengths_host[i] += loop_steps
+        c = self.counters
+        c["chunks"] = c.get("chunks", 0) + 1
+        c["chunk_capacity_tokens"] = (c.get("chunk_capacity_tokens", 0)
+                                      + loop_steps * self.max_batch)
+        c["chunk_live_tokens"] = (c.get("chunk_live_tokens", 0)
+                                  + loop_steps * len(entry_active))
         return toks, entry_active
 
     def _finalize_chunk(self, handle) -> List[Request]:
@@ -1023,6 +1059,8 @@ class InferenceEngine:
             if req.eos_token is not None and req.eos_token in emitted[:take]:
                 take = emitted.index(req.eos_token) + 1
             req.output.extend(emitted[:take])
+            self.counters["chunk_kept_tokens"] = (
+                self.counters.get("chunk_kept_tokens", 0) + take)
             self._slot_budget[i] -= take
             # a slot truncated mid-chunk (budget/EOS) is always freed below,
             # and re-admission prefills it from scratch — no cache rewind
@@ -1110,7 +1148,7 @@ class InferenceEngine:
             nb = min(self.max_batch, -(-nb // dp) * dp)
         pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
 
-        def admit_group(group, nb, prefill_fn):
+        def admit_group(group, nb, prefill_fn, padded_len):
             """Shared tail of both lanes: pad the group to nb (duplicate
             slot writes are idempotent — one compiled shape per bucket),
             dispatch the lane's prefill(s), sample ALL padded rows (fixed
@@ -1120,6 +1158,16 @@ class InferenceEngine:
             duplicate-index scatter order is undefined, so they scatter to
             an out-of-range index and drop; only row j feeds slot
             group[j], exactly the rows bookkeeping reads."""
+            c = self.counters
+            c["prefill_groups"] = c.get("prefill_groups", 0) + 1
+            c["prefill_rows"] = c.get("prefill_rows", 0) + nb
+            c["prefill_real_rows"] = (c.get("prefill_real_rows", 0)
+                                      + len(group))
+            c["prefill_tokens"] = (c.get("prefill_tokens", 0)
+                                   + nb * padded_len)
+            c["prefill_real_tokens"] = (c.get("prefill_real_tokens", 0)
+                                        + sum(len(r.prompt)
+                                              for _, r in group))
             padded_group = group + [group[-1]] * (nb - len(group))
             true_lens = jnp.asarray([len(r.prompt) for _, r in padded_group],
                                     jnp.int32)
@@ -1160,7 +1208,7 @@ class InferenceEngine:
                         true_lens=true_lens, slots=slots, cache=self.cache)
                     return logits
 
-                admit_group(group, nb, prefill)
+                admit_group(group, nb, prefill, padded_len=bucket)
 
         def run_chunked_lane():
             # chunked lane: long prompts stream through ceil(len/C)
@@ -1195,7 +1243,8 @@ class InferenceEngine:
                                 cache=self.cache)
                         return logits
 
-                    admit_group(group, nb, prefill)
+                    admit_group(group, nb, prefill,
+                                padded_len=n_chunks * cc)
 
         # anti-starvation: when the OLDEST queued request is a long
         # prompt, its lane runs first — otherwise sustained short traffic

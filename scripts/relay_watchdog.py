@@ -78,6 +78,25 @@ def probe() -> bool:
         return False
 
 
+DONE_FILE = os.path.join(RECOVERY, "DONE")
+
+
+def _load_done() -> set:
+    """Queue steps already rc=0 — persisted so a watchdog restart (or a
+    manual queue run that seeds the file) never repeats finished steps."""
+    try:
+        with open(DONE_FILE) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return set()
+
+
+def _save_done(done: set) -> None:
+    os.makedirs(RECOVERY, exist_ok=True)
+    with open(DONE_FILE, "w") as fh:
+        fh.write("\n".join(sorted(done)) + "\n")
+
+
 def run_queue(steps=None, done=None) -> None:
     if done is None:
         done = set()
@@ -102,6 +121,7 @@ def run_queue(steps=None, done=None) -> None:
               flush=True)
         if rc == 0:
             done.add(name)
+            _save_done(done)
         # a hang suggests the relay re-wedged; verify before continuing
         if rc == "TIMEOUT" and not probe():
             print(f"[{now()}]   relay re-wedged; stopping queue", flush=True)
@@ -113,7 +133,9 @@ def main() -> None:
     up_sentinel = os.path.join(RESULTS, "RELAY_UP")
     busy_sentinel = os.path.join(RESULTS, "RECOVERY_RUNNING")
     print(f"[{now()}] watchdog start (poll every {POLL_SECS}s)", flush=True)
-    done: set = set()  # queue steps that completed rc=0 (never re-run)
+    done: set = _load_done()  # steps already rc=0 (never re-run)
+    if done:
+        print(f"[{now()}] resuming with done={sorted(done)}", flush=True)
     refresh_after = None  # once everything passed, refresh bench periodically
     while True:
         if probe():
