@@ -23,20 +23,15 @@ from flash_attention_softmax_n_tpu.kernels.decode_attention import (
 from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
 
 
-def sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+from scripts._timing import time_scan
 
 
-def bench(fn, *args, reps=20):
-    out = fn(*args)
-    sync(out)
-    out = fn(*args)
-    sync(out)  # twice: relay relayout warmup
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    return (time.time() - t0) / reps
+def bench(fn, *args):
+    # device-side scan loop (scripts/_timing.py): the first version of
+    # this bench used a per-dispatch host loop and measured a flat
+    # 1.5-1.9ms "XLA time" at every shape — the relay dispatch floor,
+    # not the kernel
+    return time_scan(fn, *args, chain_arg=0, reps=50, outer=3)
 
 
 def main():

@@ -23,18 +23,13 @@ from flash_attention_softmax_n_tpu.kernels.flash_attention import (
 )
 
 
-def sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+from scripts._timing import time_scan
 
 
-def bench(fn, *args, reps=10):
-    sync(fn(*args))
-    sync(fn(*args))
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    return (time.time() - t0) / reps
+def bench(fn, *args):
+    # device-side scan loop: per-dispatch host loops measure the ~1.7ms
+    # relay overhead, not the kernel (scripts/_timing.py)
+    return time_scan(fn, *args, chain_arg=0, reps=10, outer=3)
 
 
 def main():
