@@ -60,7 +60,8 @@ def emit_and_exit(error=None, code=0):
         if "dense_tps" in RESULTS:
             out["vs_baseline"] = round(
                 RESULTS["quant_tps"] / RESULTS["dense_tps"], 3)
-    for k in ("churn_tps", "attn_sol_pct", "prefill_sol_pct"):
+    for k in ("churn_tps", "churn128_tps", "attn_sol_pct",
+              "prefill_sol_pct"):
         if k in RESULTS:
             out[k] = round(RESULTS[k], 1)
     if error is not None:
@@ -520,6 +521,13 @@ def main():
     churn = _fenced("serving churn", bench_serving_churn, cfg, qparams)
     if churn:
         RESULTS["churn_tps"] = churn
+    # same request mix served with a 128-slot pool: decode-step time is
+    # ~1.7ms fixed + 36us/slot (profile_decode_step), so doubling slots
+    # nearly halves the decode share of churn wall-clock
+    churn128 = _fenced("serving churn b128", bench_serving_churn, cfg,
+                       qparams, slots=128)
+    if churn128:
+        RESULTS["churn128_tps"] = churn128
 
     sol = _fenced("attn SOL", bench_attn_sol, cfg, quantized=True)
     if sol:

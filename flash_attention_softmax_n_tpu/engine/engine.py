@@ -1149,8 +1149,12 @@ class InferenceEngine:
         pending: List[Tuple[List[Tuple[int, Request]], jax.Array]] = []
 
         def admit_group(group, nb, prefill_fn, padded_len):
-            """Shared tail of both lanes: pad the group to nb (duplicate
-            slot writes are idempotent — one compiled shape per bucket),
+            """Shared tail of both lanes: pad the group to the smallest
+            compiled width that holds it (duplicate slot writes are
+            idempotent). Width is the smallest power of two >= len(group)
+            in [2, nb] — churn admissions are mostly partial groups, and
+            always padding to 8 made duplicate rows ~1/3 of measured
+            prefill pad waste; {2,4,8} costs at most 3 shapes per bucket,
             dispatch the lane's prefill(s), sample ALL padded rows (fixed
             (nb,) shape) and push the first tokens straight into the
             decode input on device. Padding rows may SAMPLE a different
@@ -1158,6 +1162,15 @@ class InferenceEngine:
             duplicate-index scatter order is undefined, so they scatter to
             an out-of-range index and drop; only row j feeds slot
             group[j], exactly the rows bookkeeping reads."""
+            nb_g = 2
+            while nb_g < len(group):
+                nb_g *= 2
+            if self.mesh is not None:
+                # meshed prefill shard_maps over 'data': width must divide
+                # the axis (rounding up stays <= nb, which already does)
+                dp = self.mesh.shape.get("data", 1)
+                nb_g = -(-nb_g // dp) * dp
+            nb = min(nb, nb_g)
             c = self.counters
             c["prefill_groups"] = c.get("prefill_groups", 0) + 1
             c["prefill_rows"] = c.get("prefill_rows", 0) + nb

@@ -691,6 +691,22 @@ def _flash_fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
 
 def _flash_bwd(cfg: FlashConfig, residuals, cotangents):
     do, _ = cotangents  # lse is a non-differentiable auxiliary output
+
+    # The forward may run one large block (auto policy — grid overhead
+    # wins there), but the backward materializes BOTH p and dp tiles, so
+    # a 2048^2 block would need 2x the f32 score VMEM. Cap backward
+    # blocks at 1024 whenever that still divides the padded lengths; the
+    # dropout mask hashes absolute positions, so fwd/bwd block shapes may
+    # differ freely.
+    def _bwd_block(b: int, padded_len: int) -> int:
+        c = min(b, 1024)
+        return c if padded_len % c == 0 else b
+
+    cfg = dataclasses.replace(
+        cfg,
+        block_q=_bwd_block(cfg.block_q, residuals[0].shape[2]),
+        block_k=_bwd_block(cfg.block_k, residuals[1].shape[2]),
+    )
     dq, dk, dv, dbias, dslopes = _bwd(cfg, residuals, do)
     bias = residuals[3]
     if dbias is not None and bias is not None:
@@ -722,8 +738,8 @@ def flash_attention_n_fused(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
     bias_needs_grad: bool = True,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
 ) -> jax.Array:
@@ -772,8 +788,25 @@ def flash_attention_n_fused(
             raise ValueError("dropout_rate > 0 requires dropout_seed")
         seed = jnp.asarray(dropout_seed, jnp.int32)
 
-    block_q = min(block_q, _round_up(q_len, 128))
-    block_k = min(block_k, _round_up(kv_len, 128))
+    # block auto-policy (measured: results/recovery/sweep_prefill_v2.log).
+    # Mosaic grid-step overhead dominates this kernel on v5e: a single
+    # (L, S) block runs 1.5x faster than the best multi-block tiling at
+    # (B2 H32 L2048 hd64) — 1.60ms vs 2.40ms, 89.8 TFLOPS dot ceiling —
+    # and (1024, 1024) wins every multi-block case tried. Asymmetric
+    # grids with a 2048-side fail to lower, so the single-block shape is
+    # taken jointly or not at all. The 2048 cap needs the full f32 score
+    # tile (16MB = all of VMEM); with a bias tile or dropout alongside it
+    # the budget halves, so those fall back to 1024.
+    if block_q is None and block_k is None:
+        qp_, kp_ = _round_up(q_len, 128), _round_up(kv_len, 128)
+        cap = 2048 if (d <= 64 and bias is None
+                       and dropout_rate == 0.0) else 1024
+        if qp_ <= cap and kp_ <= cap:
+            block_q, block_k = qp_, kp_
+        else:
+            block_q = block_k = 1024
+    block_q = min(block_q or 1024, _round_up(q_len, 128))
+    block_k = min(block_k or 1024, _round_up(kv_len, 128))
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
     # head_dim: Pallas allows a last block dim equal to the (sub-128) array

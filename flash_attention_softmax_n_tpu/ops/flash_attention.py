@@ -141,8 +141,8 @@ def flash_attention_n(
     train: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     implementation: str = "auto",
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     mesh=None,
     batch_axis: str = "data",
     head_axis: str = "model",
