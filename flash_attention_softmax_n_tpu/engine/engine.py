@@ -68,7 +68,10 @@ class Request:
     done: bool = False
 
 
-def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
+def _bucket(n: int, buckets=(32, 64, 96, 128, 256, 512, 1024, 2048)) -> int:
+    # 96 sits between the two densest serving-prompt buckets: without it,
+    # 65-96-token prompts pad 33-97% (measured 26-28% of ALL prefill
+    # compute was padding on the mixed 16-128 churn workload)
     for b in buckets:
         if n <= b:
             return b
@@ -856,7 +859,7 @@ class InferenceEngine:
                 # dependency through the donated cache), and only THEN
                 # does the host sync on either — admission cost hides
                 # under the chunk's dispatch window
-                t0 = tic()
+                t0 = it0 = tic()
                 pending = self._admit_async()
                 t0 = _t("admit_dispatch", t0)
                 if not any(s is not None for s in self.slots):
@@ -873,8 +876,11 @@ class InferenceEngine:
                     t0 = _t("chunk_dispatch", t0)
                     done.extend(self._finalize_admission(pending))
                     t0 = _t("admit_sync", t0)
+                    boundary_s = t0 - it0
                     done.extend(self._finalize_chunk(handle))
-                    _t("chunk_sync", t0)
+                    t_end = _t("chunk_sync", t0)
+                    self._update_sched_ewma(boundary_s,
+                                            (t_end - t0) / chunk)
                     steps_left -= chunk
                     continue
                 done.extend(self._finalize_admission(pending))
@@ -932,8 +938,30 @@ class InferenceEngine:
 
     # scheduling overhead of one loop-chunk boundary, in decode-step units
     # (host round-trip + admission bookkeeping vs ~10ms/step at b=256);
-    # biases the chunk choice toward longer chunks
+    # biases the chunk choice toward longer chunks. Static prior only —
+    # once a few chunks have run, the measured EWMA ratio replaces it
+    # (boundary cost is dominated by admission prefill DEVICE time, which
+    # varies with traffic; step cost is ~1.7ms + 36us/slot on v5e, so the
+    # right bias at b=64 is ~11 steps, not 4)
     _SCHED_OVERHEAD_STEPS = 4
+
+    def _update_sched_ewma(self, boundary_s: float, step_s: float) -> None:
+        a = 0.3
+        prev_b = getattr(self, "_ewma_boundary_s", None)
+        prev_s = getattr(self, "_ewma_step_s", None)
+        self._ewma_boundary_s = (boundary_s if prev_b is None
+                                 else (1 - a) * prev_b + a * boundary_s)
+        self._ewma_step_s = (step_s if prev_s is None
+                             else (1 - a) * prev_s + a * step_s)
+
+    @property
+    def _sched_overhead_steps(self) -> int:
+        b = getattr(self, "_ewma_boundary_s", None)
+        s = getattr(self, "_ewma_step_s", None)
+        if b and s:
+            # clamp: early iterations include jit compiles on both sides
+            return max(1, min(24, round(b / s)))
+        return self._SCHED_OVERHEAD_STEPS
 
     def _chunk_steps(self, loop_steps: int) -> int:
         """Adaptive chunk length: maximize useful tokens per wall-clock.
@@ -967,9 +995,10 @@ class InferenceEngine:
             # must still be dispatchable at full length for homogeneous
             # steady-state batches
             cands.append(loop_steps)
+        overhead = self._sched_overhead_steps
         for c in cands:
             rate = (sum(min(r, c) for r in rem)
-                    / (c + self._SCHED_OVERHEAD_STEPS))
+                    / (c + overhead))
             if rate > best_rate:
                 best_rate, best_c = rate, c
         return best_c

@@ -51,3 +51,32 @@ def time_scan(fn, *args, chain_arg=0, reps=20, outer=3):
         out = f(*args)
     sync(out)
     return (time.time() - t0) / outer / reps
+
+
+def time_scan_dep(fn, *args, reps=20, outer=3):
+    """Like time_scan, for ops whose output shape matches no input: each
+    scan step perturbs the first argument by a tiny multiple of one output
+    element, forcing a true serial dependency on the whole op (XLA cannot
+    split a dot to satisfy a one-element slice). The 1e-30 factor is
+    representable in bf16 and not algebraically removable (unlike *0)."""
+    args = list(args)
+    x0 = args[0]
+
+    def rep(*a):
+        def step(x, _):
+            out = fn(x, *a[1:])
+            dep = jnp.ravel(out)[:1].astype(x.dtype) * x.dtype.type(1e-30)
+            return x + dep, None
+
+        x, _ = lax.scan(step, a[0], None, length=reps)
+        return x
+
+    f = jax.jit(rep)
+    sync(f(*args))
+    sync(f(*args))
+    t0 = time.time()
+    out = None
+    for _ in range(outer):
+        out = f(*args)
+    sync(out)
+    return (time.time() - t0) / outer / reps

@@ -25,16 +25,13 @@ def sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+from scripts._timing import time_scan_dep
+
+
 def bench(fn, *args, reps=20):
-    out = fn(*args)
-    sync(out)
-    out = fn(*args)
-    sync(out)  # twice: relay relayout warmup
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    return (time.time() - t0) / reps
+    # device-side scan with a one-element output dependency: host-loop
+    # timing here measured the ~1.7ms dispatch floor at every small shape
+    return time_scan_dep(fn, *args, reps=reps, outer=3)
 
 
 def tf(m, k, n, dt, batch=1):
@@ -50,8 +47,8 @@ def run(label, m, k, n, *, dtype=jnp.bfloat16, batch=1, acc=jnp.float32,
     b = jax.random.normal(kb, shape_b, jnp.float32).astype(dtype)
 
     if batch > 1:
-        f = jax.jit(lambda a, b: jax.lax.batch_matmul(
-            a, b, preferred_element_type=acc))
+        f = jax.jit(lambda a, b: jnp.einsum(
+            "bmk,bkn->bmn", a, b, preferred_element_type=acc))
     else:
         f = jax.jit(lambda a, b: jax.lax.dot(
             a, b, preferred_element_type=acc))

@@ -560,3 +560,50 @@ class TestRound3MosaicPaths:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all())
                    for g in leaves)
+
+    def test_flash_single_block_auto_policy(self):
+        # round-3 auto block policy: one (2048, 2048) block forward (the
+        # measured grid-overhead win) with the backward auto-capped to
+        # (1024, 1024) — both must lower and match the oracle. The
+        # asymmetric combos this policy avoids ((1024,2048)/(2048,1024))
+        # crash the Mosaic compile helper outright.
+        import math
+
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        B, H, L, E = 1, 4, 2048, 64
+        q, k, v = (0.3 * jax.random.normal(kk, (B, H, L, E), jnp.bfloat16)
+                   for kk in ks)
+
+        def fused(q, k, v):
+            return flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, is_causal=True)
+
+        def oracle(q, k, v):
+            s = jnp.einsum("bhle,bhse->bhls", q, k,
+                           preferred_element_type=jnp.float32)
+            s = s / math.sqrt(E)
+            m = jnp.tril(jnp.ones((L, L), bool))
+            p = softmax_n(jnp.where(m, s, -1e30), n=1.0, axis=-1)
+            return jnp.einsum("bhls,bhse->bhle", p,
+                              v.astype(jnp.float32))
+
+        out = jax.jit(fused)(q, k, v)
+        want = jax.jit(oracle)(q, k, v)
+        assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - want))) < 5e-3
+
+        def lf(q, k, v):
+            return jnp.sum(fused(q, k, v).astype(jnp.float32) ** 2)
+
+        def lr(q, k, v):
+            return jnp.sum(oracle(q, k, v) ** 2)
+
+        gf = jax.jit(jax.grad(lf, (0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(lr, (0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
+                < 5e-3 * scale
