@@ -337,7 +337,8 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                  tail: Optional[Tuple[jax.Array, jax.Array]] = None,
                  tail_index: Optional[jax.Array] = None,
                  tail_lengths: Optional[jax.Array] = None,
-                 greedy: bool = False):
+                 greedy: bool = False,
+                 prefill: Optional[Dict] = None):
     """One decode step for ALL slots: tokens (B,) -> (logits (B, V), cache').
 
     Step anatomy (decode is HBM-bound; everything here serves that):
@@ -362,13 +363,54 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     kernels/cache_update.py tail_append) instead of the per-slot cache
     scatter; attention additionally covers the ``tail_lengths`` valid tail
     rows. The main cache is untouched until the loop's flush.
+
+    ``prefill`` (piggybacked chunked prefill — fused loop only): a dict
+    {tokens (G, CS), offset (scalar), true_lens (G,), ring_k/ring_v
+    (NL, G, KVH, cap, hd)} of G prompt chunks that ride THIS step's weight
+    stream: their rows flatten into the same (1, B + G*CS, d) matmul
+    operand as the decode rows (norms/projections/MLP/lm_head all shared —
+    at small decode batches the step is weight-streaming bound, so the
+    prompt tokens are nearly free), while attention splits: decode rows
+    take the cache path above, prompt rows attend their own per-layer ring
+    ([0, offset) prior rows + this chunk, causal). Returns the greedy
+    token for each prompt's last-true-row as a second output; the loop
+    selects the one from the prompt's final chunk as its first token.
     """
+    B = tokens.shape[0]
     x = params["embed"][tokens][:, None].astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg.head_dim, cfg.max_seq_len, cfg.rope_theta)
     lengths = cache["lengths"]  # (B,)
     positions = lengths[:, None]  # (B, 1)
     quantized = isinstance(cache["k"], QTensor)
     k_cache, v_cache = cache["k"], cache["v"]
+
+    if prefill is not None:
+        G, CS = prefill["tokens"].shape
+        reps = cfg.n_heads // cfg.n_kv_heads
+        off = prefill["offset"]
+        x_p = params["embed"][prefill["tokens"]].astype(cfg.dtype)  # (G,CS,d)
+        # one flattened row axis: (1, B + G*CS, d) — every row-wise op
+        # (norm, projections, SwiGLU) runs once over decode + prompt rows
+        x = jnp.concatenate(
+            [x.reshape(1, B, -1), x_p.reshape(1, G * CS, -1)], axis=1)
+        pos_p = off + jnp.arange(CS, dtype=lengths.dtype)
+        pos_m = jnp.concatenate(
+            [lengths, jnp.tile(pos_p, G)])[None]  # (1, B + G*CS)
+        cap = prefill["ring_k"].shape[3]
+        # prompt-row attention mask over [ring(cap) | chunk(CS)], shared
+        # across layers: ring row r valid iff r < off (written by earlier
+        # steps) and r < true_len; chunk key j at position off+j valid iff
+        # off+j < true_len and causally off+j <= query position
+        tl = prefill["true_lens"][:, None, None]  # (G,1,1)
+        ring_pos = jnp.arange(cap)
+        ring_ok = jnp.logical_and(ring_pos < off, ring_pos < tl)  # (G,1,cap)
+        qpos = (off + jnp.arange(CS))[:, None]  # (CS,1)
+        kpos = (off + jnp.arange(CS))[None, :]  # (1,CS)
+        chunk_ok = jnp.logical_and(kpos <= qpos,
+                                   kpos < tl)  # (G,CS,CS)
+        p_mask = jnp.concatenate(
+            [jnp.broadcast_to(ring_ok, (G, CS, cap)), chunk_ok],
+            axis=-1)[:, None]  # (G,1,CS,cap+CS)
 
     def body(x, layer_in):
         if quantized:
@@ -379,6 +421,9 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         else:
             lp, kc, vc = layer_in[:3]
             rest = layer_in[3:]
+        if prefill is not None:
+            rk_l, rv_l = rest[-2:]
+            rest = rest[:-2]
         kt, vt = rest if tail is not None else (None, None)
 
         def attn(q, k, v):
@@ -390,7 +435,45 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                 k_tail=kt, v_tail=vt, tail_lengths=tail_lengths)
             return ctx[:, :, None, :].astype(x.dtype), (k[:, :, 0], v[:, :, 0])
 
-        x, _, rows = _layer(cfg, (cos, sin), x, lp, attn)
+        def attn_mixed(q, k, v):
+            # q (1,H,M,hd), k/v (1,KVH,M,hd): one rope over the combined
+            # row axis (decode rows at their cache lengths, prompt rows at
+            # off+j), then the two attention structures split
+            from flash_attention_softmax_n_tpu.ops.functional import (
+                softmax_n,
+            )
+            nh = q.shape[1]
+            q = apply_rope(q, cos, sin, pos_m)
+            k = apply_rope(k, cos, sin, pos_m)
+            qd = jnp.swapaxes(q[0, :, :B], 0, 1)  # (B,H,hd)
+            kd = jnp.swapaxes(k[0, :, :B], 0, 1)
+            vd = jnp.swapaxes(v[0, :, :B], 0, 1)
+            ctx_d = _attention_over_slots(
+                cfg, qd, kc, vc, lengths_main, k_new=kd, v_new=vd,
+                k_tail=kt, v_tail=vt, tail_lengths=tail_lengths)
+            qp = q[0, :, B:].reshape(nh, G, CS, -1).transpose(1, 0, 2, 3)
+            kp = k[0, :, B:].reshape(cfg.n_kv_heads, G, CS,
+                                     -1).transpose(1, 0, 2, 3)
+            vp = v[0, :, B:].reshape(cfg.n_kv_heads, G, CS,
+                                     -1).transpose(1, 0, 2, 3)
+            keys = jnp.concatenate([rk_l, kp.astype(rk_l.dtype)], axis=2)
+            vals = jnp.concatenate([rv_l, vp.astype(rv_l.dtype)], axis=2)
+            s = jnp.einsum("ghqe,ghse->ghqs", qp, _repeat_kv(keys, reps),
+                           preferred_element_type=jnp.float32)
+            s = s * (cfg.head_dim ** -0.5)
+            s = jnp.where(p_mask, s, jnp.float32(-1e30))
+            pw = softmax_n(s, n=cfg.softmax_n, axis=-1)
+            ctx_p = jnp.einsum(
+                "ghqs,ghse->ghqe", pw,
+                _repeat_kv(vals, reps).astype(jnp.float32))
+            ctx_m = jnp.concatenate(
+                [jnp.swapaxes(ctx_d, 0, 1),
+                 ctx_p.transpose(1, 0, 2, 3).reshape(nh, G * CS, -1)],
+                axis=1)[None]
+            return ctx_m.astype(x.dtype), ((kd, vd), (kp, vp))
+
+        x, _, rows = _layer(cfg, (cos, sin), x, lp,
+                            attn if prefill is None else attn_mixed)
         return x, rows
 
     # in tail mode, the cache only holds the pre-loop prefix: rows past the
@@ -405,7 +488,21 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
         xs = (params["layers"], k_cache, v_cache)
     if tail is not None:
         xs = xs + (tail[0], tail[1])
-    x, (k_rows, v_rows) = jax.lax.scan(body, x, xs)
+    if prefill is not None:
+        xs = xs + (prefill["ring_k"], prefill["ring_v"])
+        x, ((k_rows, v_rows), (kp_rows, vp_rows)) = jax.lax.scan(
+            body, x, xs)
+        # prompt-chunk rows land in the per-layer ring at this step's
+        # static-width offset — ONE contiguous update per step
+        new_ring = (
+            jax.lax.dynamic_update_slice(
+                prefill["ring_k"], kp_rows.astype(prefill["ring_k"].dtype),
+                (0, 0, 0, prefill["offset"], 0)),
+            jax.lax.dynamic_update_slice(
+                prefill["ring_v"], vp_rows.astype(prefill["ring_v"].dtype),
+                (0, 0, 0, prefill["offset"], 0)))
+    else:
+        x, (k_rows, v_rows) = jax.lax.scan(body, x, xs)
     # k_rows/v_rows: (NL, B, KVH, hd) bf16 — the step's new cache rows
 
     from flash_attention_softmax_n_tpu.kernels.cache_update import (
@@ -474,6 +571,29 @@ def _decode_step(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
 
     cache["lengths"] = jnp.where(active, lengths + 1, lengths)
 
+    if prefill is not None:
+        # decode rows + each prompt's last-true-row THIS chunk (meaningful
+        # only on its final chunk — the loop selects that one) through one
+        # shared final-norm + fused argmax lm_head
+        from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
+            quantized_matmul_argmax,
+        )
+        xd = x[0, :B][:, None]  # (B,1,d)
+        xp = x[0, B:].reshape(G, CS, -1)
+        last = jnp.clip(prefill["true_lens"] - prefill["offset"] - 1,
+                        0, CS - 1)
+        xg = jnp.take_along_axis(xp, last[:, None, None], axis=1)  # (G,1,d)
+        xx = rms_norm(jnp.concatenate([xd, xg], axis=0),
+                      params["final_norm"], cfg.norm_eps)
+        if _greedy_fusable(params, cfg, None, xx.shape[0]):
+            lm = params["lm_head"]
+            tok = quantized_matmul_argmax(xx, lm.values, lm.scales)
+        else:
+            logits = _mm(xx, params["lm_head"], cfg.act_bits,
+                         cfg.int8_mm_impl).astype(jnp.float32)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (tok[:B, 0], tok[B:, 0]), cache, new_tail, new_ring
+
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     if greedy and _greedy_fusable(params, cfg, mesh, tokens.shape[0]):
         from flash_attention_softmax_n_tpu.kernels.quant_matmul import (
@@ -513,6 +633,9 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
                        top_p: Optional[jax.Array] = None,
                        mesh=None,
                        attn_len: Optional[int] = None,
+                       p_tokens: Optional[jax.Array] = None,
+                       p_slots: Optional[jax.Array] = None,
+                       p_true_lens: Optional[jax.Array] = None,
                        ) -> Tuple[jax.Array, Dict, jax.Array]:
     """``num_steps`` fused decode steps in ONE compiled program.
 
@@ -548,6 +671,19 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     attention span is frozen at the loop-entry lengths: rows past
     ``attn_len >= max(active lengths)`` are masked for every slot anyway.
     The tail flush still writes through the full cache.
+
+    Piggybacked admission (``p_tokens (G, cap)`` right-padded prompts,
+    ``p_slots (G,)``, ``p_true_lens (G,)``; requires tail mode, greedy
+    decode, no mesh, cap % num_steps == 0): each step prefills a
+    cap/num_steps-token chunk of every prompt THROUGH the decode step's
+    matmuls (see ``_decode_step`` ``prefill``), so admission stops paying
+    its own weight streams and prefill/decode stop serializing on device.
+    Prompt rows collect in a bf16 ring flushed into the cache (quantizing)
+    after the decode-tail flush — piggybacked slots MUST be inactive in
+    ``active`` (their decode-tail garbage rows land at base 0 and are
+    overwritten by this flush). Returns (tokens, cache, active,
+    first_tokens (G,)) — each prompt's greedy first token, selected at its
+    final chunk; the slots start decoding from it next loop.
     """
     # ``temps`` (B,) enables per-slot sampling entirely on-device: slots
     # with temp 0 take argmax, temp > 0 sample, and (B,) ``top_k``/``top_p``
@@ -585,11 +721,42 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     greedy = not sampling and _greedy_fusable(params, cfg, mesh,
                                               tokens.shape[0])
 
+    piggy = p_tokens is not None
+    if piggy:
+        if not use_tail or sampling or mesh is not None:
+            raise ValueError(
+                "piggybacked prefill requires tail mode, greedy decode, "
+                "and no mesh")
+        G, cap = p_tokens.shape
+        if cap % num_steps:
+            raise ValueError(f"piggyback cap {cap} must divide into "
+                             f"{num_steps} steps")
+        CS = cap // num_steps
+        ring0 = (jnp.zeros((nl, G, kvh, cap, hd), cfg.dtype),
+                 jnp.zeros((nl, G, kvh, cap, hd), cfg.dtype))
+        # each prompt's final chunk index: the step whose chunk contains
+        # row true_len-1
+        p_final = jnp.maximum(p_true_lens - 1, 0) // CS  # (G,)
+
     def make_step():
         def step(carry, xs):
             i, key = xs
-            tok, cache, active, tail = carry
-            if use_tail:
+            if piggy:
+                tok, cache, active, tail, ring, first = carry
+            else:
+                tok, cache, active, tail = carry
+            if piggy:
+                chunk_toks = jax.lax.dynamic_slice(
+                    p_tokens, (0, i * CS), (G, CS))
+                pf = {"tokens": chunk_toks, "offset": i * CS,
+                      "true_lens": p_true_lens,
+                      "ring_k": ring[0], "ring_v": ring[1]}
+                (out, p_tok), cache, tail, ring = _decode_step(
+                    params, cfg, tok, cache, active, mesh=mesh, tail=tail,
+                    tail_index=i, tail_lengths=cache["lengths"] - base,
+                    greedy=True, prefill=pf)
+                first = jnp.where(i == p_final, p_tok, first)
+            elif use_tail:
                 out, cache, tail = _decode_step(
                     params, cfg, tok, cache, active, mesh=mesh, tail=tail,
                     tail_index=i, tail_lengths=cache["lengths"] - base,
@@ -597,7 +764,7 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
             else:
                 out, cache, _ = _decode_step(params, cfg, tok, cache, active,
                                              mesh=mesh, greedy=greedy)
-            if greedy:
+            if piggy or greedy:
                 nxt = out  # argmax fused into the lm_head kernel epilogue
             elif temps is not None:
                 nxt = sample_tokens(out, key, temps, top_k, top_p)
@@ -609,12 +776,16 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
             nxt = jnp.where(active, nxt, tok)
             if eos_token is not None:
                 active = jnp.logical_and(active, nxt != eos_token)
+            if piggy:
+                return (nxt, cache, active, tail, ring, first), nxt
             return (nxt, cache, active, tail), nxt
         return step
 
     keys = (jax.random.split(rng, num_steps) if sampling
             else jnp.zeros((num_steps, 2), jnp.uint32))
     carry = (tokens, cache, active, tail0 if use_tail else None)
+    if piggy:
+        carry = carry + (ring0, jnp.zeros((G,), jnp.int32))
     # NOTE (measured, v5e b=512): sub-chunking this scan so each chunk's
     # attention reads a growing static view of the tail ring (16 or 32
     # steps per sub-scan) LOSES ~5-9% end-to-end — the sub-scan boundary
@@ -623,13 +794,58 @@ def engine_decode_loop(params: Dict, cfg: DecoderConfig, tokens: jax.Array,
     carry, toks = jax.lax.scan(
         make_step(), carry,
         (jnp.arange(num_steps, dtype=jnp.int32), keys))
-    tok, cache, active, tail = carry
+    if piggy:
+        tok, cache, active, tail, ring, first_toks = carry
+    else:
+        tok, cache, active, tail = carry
 
     if use_tail:
         cache = dict(cache)
         cache["k"], cache["v"] = _flush_tail(
             cfg, k_full, v_full, tail[0], tail[1], base)
+    if piggy:
+        # prompt rows into the cache AFTER the tail flush: piggybacked
+        # slots' decode-tail garbage landed at base 0 and must lose
+        cache["k"], cache["v"] = _flush_prefill_ring(
+            cache["k"], cache["v"], ring[0], ring[1], p_slots)
+        cache["lengths"] = cache["lengths"].at[p_slots].set(
+            jnp.minimum(p_true_lens, s_len).astype(cache["lengths"].dtype))
+        return jnp.swapaxes(toks, 0, 1), cache, active, first_toks
     return jnp.swapaxes(toks, 0, 1), cache, active
+
+
+def _flush_prefill_ring(k_cache, v_cache, ring_k, ring_v, p_slots):
+    """Scatter piggybacked prompt rows (NL, G, KVH, cap, hd) into the main
+    cache at row 0 of each prompt's slot, quantizing for quantized caches.
+
+    One dynamic_update_slice per (real or duplicate-padding) prompt —
+    duplicates write identical data, so order is irrelevant. Rows past a
+    prompt's true length are garbage but sit at positions >= the slot's
+    lengths entry, which attention never reads and later admissions
+    overwrite (the same rule as the decode-tail flush)."""
+    quantized = isinstance(k_cache, QTensor)
+    g_total = ring_k.shape[1]
+
+    def write(dst, rows):
+        # dst (NL, B, KVH, S, D); rows (NL, G, KVH, cap, D)
+        for g in range(g_total):
+            dst = jax.lax.dynamic_update_slice(
+                dst, rows[:, g][:, None].astype(dst.dtype),
+                (0, p_slots[g], 0, 0, 0))
+        return dst
+
+    if quantized:
+        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+
+        bits = 8 if k_cache.bits == 8 else -8
+        kq, kqs = quantize_kv(ring_k, bits)
+        vq, vqs = quantize_kv(ring_v, bits)
+        k_out = QTensor(write(k_cache.values, kq), write(k_cache.scales, kqs),
+                        bits=k_cache.bits)
+        v_out = QTensor(write(v_cache.values, vq), write(v_cache.scales, vqs),
+                        bits=v_cache.bits)
+        return k_out, v_out
+    return write(k_cache, ring_k), write(v_cache, ring_v)
 
 
 def _flush_tail(cfg: DecoderConfig, k_cache, v_cache, k_tail, v_tail, base):
@@ -701,7 +917,8 @@ class InferenceEngine:
                  max_batch: int = 8, max_len: Optional[int] = None,
                  kv_quantization: Optional[str] = None,
                  pad_token: int = 0, mesh=None,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256,
+                 piggyback_prefill: bool = True):
         """``mesh``: a jax Mesh with 'data' and 'model' axes — the engine
         then serves tensor/data-parallel (weights Megatron-sharded, slots +
         cache on 'data'; see parallel/serving.py). max_batch must divide by
@@ -715,6 +932,7 @@ class InferenceEngine:
         self.mesh = mesh
         self.params = params
         self.max_batch = max_batch
+        self.piggyback_prefill = piggyback_prefill
         self.max_len = max_len or cfg.max_seq_len
         self.pad_token = pad_token
         self._CHUNK = prefill_chunk
@@ -740,6 +958,11 @@ class InferenceEngine:
         # how much prefill compute is padding and how much fused-chunk
         # capacity produces kept tokens — the two churn-loss channels
         self.counters: Dict[str, int] = {}
+        # slots reserved for piggybacked prefill in the in-flight chunk
+        # (slot -> Request); they are NOT in self.slots until their first
+        # token is back, so chunk planning/active masks skip them and
+        # classic admission can't reuse them
+        self._pending_prefill: Dict[int, Request] = {}
 
         if kv_quantization is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
@@ -860,6 +1083,14 @@ class InferenceEngine:
                 # does the host sync on either — admission cost hides
                 # under the chunk's dispatch window
                 t0 = it0 = tic()
+                piggy = None
+                if any(s is not None for s in self.slots):
+                    # piggyback selection runs BEFORE classic admission so
+                    # eligible queued prompts ride the chunk's weight
+                    # stream instead of paying their own prefill; classic
+                    # admission then fills whatever slots remain
+                    piggy = self._take_piggyback(
+                        self._fused_chunk_len(loop_steps))
                 pending = self._admit_async()
                 t0 = _t("admit_dispatch", t0)
                 if not any(s is not None for s in self.slots):
@@ -871,8 +1102,15 @@ class InferenceEngine:
                     continue
                 chunk = self._fused_chunk_len(loop_steps)
                 t0 = _t("chunk_plan", t0)
+                if piggy is not None and not (
+                        chunk and chunk <= self._PIGGY_CAP
+                        and self._PIGGY_CAP % chunk == 0):
+                    # admission changed the plan to a chunk the payload
+                    # can't split into; put the prompts back untouched
+                    self._undo_piggyback(piggy)
+                    piggy = None
                 if chunk:
-                    handle = self._dispatch_chunk(chunk)
+                    handle = self._dispatch_chunk(chunk, piggy)
                     t0 = _t("chunk_dispatch", t0)
                     done.extend(self._finalize_admission(pending))
                     t0 = _t("admit_sync", t0)
@@ -1023,7 +1261,77 @@ class InferenceEngine:
             chunk //= 2
         return 0
 
-    def _dispatch_chunk(self, loop_steps: int):
+    # piggybacked-prefill shape constants: prompts up to _PIGGY_CAP tokens
+    # ride the decode chunk in cap/num_steps-token slices, at most _PIGGY_G
+    # prompts per chunk (one compiled payload shape per loop variant)
+    _PIGGY_CAP = 128
+    _PIGGY_G = 8
+
+    def _take_piggyback(self, chunk: int) -> Optional[Dict]:
+        """Reserve up to _PIGGY_G queued prompts to prefill INSIDE the next
+        decode chunk (engine_decode_loop p_tokens payload).
+
+        Eligibility: no mesh, a valid chunk split, an all-greedy slot pool
+        (the mixed step's sampling is argmax-only), prompt <= _PIGGY_CAP,
+        greedy request. Only a FIFO prefix of the queue is taken so
+        ordering guarantees stay exactly those of classic admission; the
+        first ineligible request stops the scan (it and everything behind
+        it go through the classic lanes this round)."""
+        if (not self.piggyback_prefill or self.mesh is not None
+                or not chunk or chunk > self._PIGGY_CAP
+                or self._PIGGY_CAP % chunk or self._PIGGY_CAP > self.max_len
+                or not self.queue):
+            return None
+        if self._sampling_arrays(self.slots) is not None:
+            return None
+        free = [i for i in range(self.max_batch)
+                if self.slots[i] is None and i not in self._pending_prefill]
+        take: List[Request] = []
+        for req in self.queue:
+            if len(take) >= min(self._PIGGY_G, len(free)):
+                break
+            if (req.temperature != 0.0 or not req.prompt
+                    or len(req.prompt) > self._PIGGY_CAP):
+                break
+            take.append(req)
+        if not take:
+            return None
+        ids = {id(r) for r in take}
+        self.queue = deque(r for r in self.queue if id(r) not in ids)
+        slots = free[:len(take)]
+        for i, req in zip(slots, take):
+            self._pending_prefill[i] = req
+        g = self._PIGGY_G
+        pads = g - len(take)
+        import numpy as _np
+        toks = _np.zeros((g, self._PIGGY_CAP), _np.int32)
+        lens = _np.zeros((g,), _np.int32)
+        for gi, req in enumerate(take + [take[-1]] * pads):
+            toks[gi, :len(req.prompt)] = req.prompt
+            lens[gi] = len(req.prompt)
+        c = self.counters
+        c["piggyback_prompts"] = (c.get("piggyback_prompts", 0) + len(take))
+        c["piggyback_tokens"] = (c.get("piggyback_tokens", 0)
+                                 + sum(len(r.prompt) for r in take))
+        return {"reqs": take, "slots": slots,
+                "p_tokens": jnp.asarray(toks),
+                "p_slots": jnp.asarray(slots + [slots[-1]] * pads,
+                                       jnp.int32),
+                "p_true_lens": jnp.asarray(lens, jnp.int32)}
+
+    def _undo_piggyback(self, piggy: Dict) -> None:
+        for req in reversed(piggy["reqs"]):
+            self.queue.appendleft(req)
+        for i in piggy["slots"]:
+            self._pending_prefill.pop(i, None)
+        c = self.counters
+        c["piggyback_prompts"] = (c.get("piggyback_prompts", 0)
+                                  - len(piggy["reqs"]))
+        c["piggyback_tokens"] = (c.get("piggyback_tokens", 0)
+                                 - sum(len(r.prompt)
+                                       for r in piggy["reqs"]))
+
+    def _dispatch_chunk(self, loop_steps: int, piggy: Optional[Dict] = None):
         """Launch one fused decode chunk; returns the bookkeeping handle
         (device tokens + the slots that were active at entry). No sync."""
         from flash_attention_softmax_n_tpu.engine.engine import (
@@ -1054,9 +1362,17 @@ class InferenceEngine:
         sample_kw = self._sampling_arrays(self.slots) or {}
         if sample_kw:
             self._rng, sample_kw["rng"] = jax.random.split(self._rng)
-        toks, self.cache, _ = self._loops[key](
-            params=self.params, tokens=self._next_token, cache=self.cache,
-            active=active, **sample_kw)
+        first_toks = None
+        if piggy is not None:
+            toks, self.cache, _, first_toks = self._loops[key](
+                params=self.params, tokens=self._next_token,
+                cache=self.cache, active=active,
+                p_tokens=piggy["p_tokens"], p_slots=piggy["p_slots"],
+                p_true_lens=piggy["p_true_lens"], **sample_kw)
+        else:
+            toks, self.cache, _ = self._loops[key](
+                params=self.params, tokens=self._next_token,
+                cache=self.cache, active=active, **sample_kw)
         # slots active at entry advance exactly loop_steps on device (the
         # loop never deactivates slots itself — EOS handling is host-side)
         for i in entry_active:
@@ -1067,17 +1383,38 @@ class InferenceEngine:
                                       + loop_steps * self.max_batch)
         c["chunk_live_tokens"] = (c.get("chunk_live_tokens", 0)
                                   + loop_steps * len(entry_active))
-        return toks, entry_active
+        return toks, entry_active, piggy, first_toks
 
     def _finalize_chunk(self, handle) -> List[Request]:
         """Sync on a dispatched chunk's tokens and do the bookkeeping.
         Slots freed since dispatch (e.g. a first-token EOS found by
         _finalize_admission) are skipped — their chunk tokens are
         discarded, the standard over-generation rule."""
-        toks, entry_active = handle
-        toks_host = jax.device_get(toks)
+        toks, entry_active, piggy, first_toks = handle
+        if piggy is not None:
+            toks_host, first_host = jax.device_get((toks, first_toks))
+        else:
+            toks_host = jax.device_get(toks)
 
         finished = []
+        if piggy is not None:
+            # piggybacked prompts finished their prefill inside the chunk;
+            # the same first-token bookkeeping as _finalize_admission
+            for g, (i, req) in enumerate(zip(piggy["slots"],
+                                             piggy["reqs"])):
+                tok = int(first_host[g])
+                req.output.append(tok)
+                del self._pending_prefill[i]
+                if (req.max_new_tokens <= 1
+                        or (req.eos_token is not None
+                            and tok == req.eos_token)):
+                    req.done = True
+                    finished.append(req)
+                else:
+                    self.slots[i] = req
+                    self._slot_budget[i] = req.max_new_tokens - 1
+                    self._lengths_host[i] = len(req.prompt)
+                    self._next_host[i] = tok
         upd_idx, upd_val = [], []
         for i in entry_active:
             req = self.slots[i]
@@ -1139,7 +1476,8 @@ class InferenceEngine:
         active slot; its chunk tokens are discarded at bookkeeping (the
         same over-generation-discard rule the chunk already uses).
         """
-        free = [i for i in range(self.max_batch) if self.slots[i] is None]
+        free = [i for i in range(self.max_batch)
+                if self.slots[i] is None and i not in self._pending_prefill]
         if not (free and self.queue):
             return []
         # ONE pass partitions the queue by prompt bucket (cross-bucket

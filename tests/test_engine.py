@@ -497,3 +497,28 @@ class TestLoopServing:
         done = eng.run_until_done(loop_steps=8)
         assert len(done) == 2
         assert done[0].output != done[1].output  # w.h.p.
+
+    def test_piggyback_parity_and_edges(self, params):
+        # piggybacked admission (prompts prefilled INSIDE the decode
+        # chunk) must be output-identical to classic admission, across
+        # mixed budgets, eos-on-first-token, and budget-1 requests
+        def run(piggy):
+            rng = np.random.RandomState(3)
+            eng = InferenceEngine(TINY, params, max_batch=8, max_len=128,
+                                  piggyback_prefill=piggy)
+            for j in range(20):
+                plen = int(rng.randint(1, 60))
+                budget = 1 if j % 7 == 0 else int(rng.randint(2, 20))
+                eng.submit(
+                    rng.randint(0, TINY.vocab_size, size=plen).tolist(),
+                    max_new_tokens=budget, eos_token=5)
+            done = eng.run_until_done(loop_steps=16)
+            assert len(done) == 20
+            return ({r.request_id: r.output for r in done},
+                    eng.counters_report())
+
+        with_piggy, rep = run(True)
+        assert rep.get("piggyback_prompts", 0) > 0, (
+            "workload never piggybacked — the test lost its subject")
+        without_piggy, _ = run(False)
+        assert with_piggy == without_piggy

@@ -295,7 +295,11 @@ class TestRound2MosaicPaths:
         db_scale = float(jnp.max(jnp.abs(gr[0])))
         assert float(jnp.max(jnp.abs(gf[0] - gr[0]))) < 5e-3 * max(
             1.0, db_scale)
-        assert float(jnp.max(jnp.abs(gf[1] - gr[1]))) < 5e-2  # |dist| sums
+        # dslope accumulates |distance|-weighted sums over all positions —
+        # magnitude grows with L·S, so the bound must scale with it
+        ds_scale = float(jnp.max(jnp.abs(gr[1])))
+        assert float(jnp.max(jnp.abs(gf[1] - gr[1]))) < 5e-3 * max(
+            1.0, ds_scale)
 
     def test_argmax_return_max(self):
         # return_max=True adds a second kernel output — the TP merge key
