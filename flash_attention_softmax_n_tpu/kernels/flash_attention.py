@@ -50,6 +50,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -89,6 +90,10 @@ class FlashConfig:
     dropout_rate: float = 0.0
     grad_bias: bool = False  # emit dbias tiles from the backward kernel
     interpret: bool = False
+    # forward only: inner emit_pipeline over KV blocks (outer grid drops the
+    # kv dimension). Cuts Mosaic grid-step overhead at long S and skips
+    # causally-invisible KV blocks via a dynamic inner grid bound.
+    inner_pipeline: bool = False
 
     @property
     def has_dropout(self) -> bool:
@@ -307,6 +312,8 @@ def _seed_spec():
 
 def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
     """Padded-shape forward. q (B,H,Lp,Ep), k/v (B,H,Sp,Ep), bias (b,h,Lp,Sp)."""
+    if cfg.inner_pipeline and not cfg.has_bias:
+        return _fwd_pipelined(cfg, q, k, v, alibi_slopes, seed)
     q = q * jnp.asarray(cfg.scale, q.dtype)  # fold scale once on (L, E)
     batch, heads, q_len_p, d = q.shape
     kv_len_p = k.shape[2]
@@ -378,6 +385,154 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
         ),
         interpret=cfg.interpret,
     )(*args)
+    return o, lse
+
+
+def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
+    """Forward with the KV sweep as an inner ``emit_pipeline``.
+
+    The grid-path forward pays a Mosaic grid-step re-entry per KV block
+    (measured dominant on v5e — CLAUDE.md auto-policy notes); here the outer
+    grid is only (batch, heads, q_blocks) and KV tiles stream through a
+    double-buffered inner pipeline. Causal runs a DYNAMIC inner grid bound:
+    KV blocks wholly above the diagonal are never fetched nor computed —
+    the single-block auto-policy config by contrast computes the full
+    (L, S) score tile. Forward only; the backward keeps the grid path.
+    """
+    (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), rest = _parse_in_refs(
+        cfg, refs)
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    m_scr[...] = jnp.full_like(m_scr, 0.0 if cfg.n > 0 else NEG_INF)
+    l_scr[...] = jnp.full_like(l_scr, float(cfg.n))
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]
+    slope = a_ref[0, 0] if a_ref is not None else None
+
+    if cfg.is_causal:
+        # last KV block index any row of this q block can see; +1 => count
+        q_max = iq * cfg.block_q + cfg.block_q - 1
+        nk_vis = jnp.clip(
+            (q_max + _causal_offset(cfg)) // cfg.block_k + 1, 1, nk)
+    else:
+        nk_vis = nk
+
+    def inner(k_tile, v_tile):
+        ik = pl.program_id(0)  # inner grid index (emit_pipeline grid_env)
+        k = k_tile[0, 0]
+        v = v_tile[0, 0]
+        s = _scores(cfg, q, k, None, slope, iq, ik)
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        if cfg.has_dropout:
+            p = p * _dropout_mult(cfg, seed_ref[0, 0], ib, ih, iq, ik)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    pipeline = pltpu.emit_pipeline(
+        inner,
+        grid=(nk_vis,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.block_k, d),
+                         lambda ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, cfg.block_k, d),
+                         lambda ik: (ib, ih, ik, 0)),
+        ],
+    )
+    pipeline(k_ref, v_ref)
+
+    l = l_scr[...]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, NEG_INF, m_scr[...] + jnp.log(l_safe))
+    lse_ref[0, 0] = lse[:, :1]
+
+
+def _fwd_pipelined(cfg: FlashConfig, q, k, v, alibi_slopes, seed):
+    """Inner-pipeline forward launch (no bias support — policy falls back)."""
+    q = q * jnp.asarray(cfg.scale, q.dtype)
+    d_in = q.shape[-1]
+    if d_in < 128:
+        # emit_pipeline windows must be 128-aligned on the minor dim (the
+        # HBM-resident stream buffers are physically lane-padded and the
+        # window slice inherits that tiling), so sub-128 head dims pad up.
+        # On the MXU this is ~free: a K=64 contraction already wastes half
+        # the systolic array, and the zero columns add nothing.
+        pad = ((0, 0), (0, 0), (0, 0), (0, 128 - d_in))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    batch, heads, q_len_p, d = q.shape
+    kv_len_p = k.shape[2]
+    nq = q_len_p // cfg.block_q
+    nk = kv_len_p // cfg.block_k
+
+    kernel = functools.partial(_fwd_pipeline_kernel, cfg, nk, d)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq: (b, h, iq, 0)),
+        # k/v PINNED to HBM (ANY lets small arrays land whole in VMEM,
+        # where the inner pipeline's d<128 window slice breaks tiling
+        # alignment); tiles stream in via the inner pipeline's DMAs
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    args = [q, k, v]
+    if cfg.has_alibi:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, iq: (0, h, 0, 0)))
+        args.append(alibi_slopes.reshape(1, heads, 1, 1))
+    if cfg.has_dropout:
+        in_specs.append(_seed_spec())
+        args.append(seed.reshape(1, 1).astype(jnp.int32))
+
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((batch, heads, q_len_p, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, cfg.block_q, 1), lambda b, h, iq: (b, h, iq, 0)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((cfg.block_q, LANES), jnp.float32),
+        pltpu.VMEM((cfg.block_q, LANES), jnp.float32),
+        pltpu.VMEM((cfg.block_q, d), jnp.float32),
+    ]
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(batch, heads, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * q_len_p * kv_len_p * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * q_len_p * kv_len_p,
+        ),
+        interpret=cfg.interpret,
+    )(*args)
+    if d_in < d:
+        o = o[..., :d_in]
     return o, lse
 
 
@@ -797,6 +952,7 @@ def flash_attention_n_fused(
     # taken jointly or not at all. The 2048 cap needs the full f32 score
     # tile (16MB = all of VMEM); with a bias tile or dropout alongside it
     # the budget halves, so those fall back to 1024.
+    inner_pipeline = False
     if block_q is None and block_k is None:
         qp_, kp_ = _round_up(q_len, 128), _round_up(kv_len, 128)
         cap = 2048 if (d <= 64 and bias is None
@@ -805,8 +961,19 @@ def flash_attention_n_fused(
             block_q, block_k = qp_, kp_
         else:
             block_q = block_k = 1024
+            # long-sequence multi-block case: stream KV tiles through an
+            # inner emit_pipeline instead of the kv grid dimension (no
+            # bias tile support there; FASN_PREFILL_PIPELINE=0 reverts).
+            # TPU only: the interpreter cannot execute emit_pipeline
+            # (pallas/mosaic tpu_info requires a real TPU device kind).
+            inner_pipeline = (bias is None and not interpret and
+                              os.environ.get("FASN_PREFILL_PIPELINE",
+                                             "1") != "0")
     block_q = min(block_q or 1024, _round_up(q_len, 128))
     block_k = min(block_k or 1024, _round_up(kv_len, 128))
+    if (bias is None and not interpret
+            and os.environ.get("FASN_PREFILL_PIPELINE") == "force"):
+        inner_pipeline = True  # experiment hook: pipeline at ANY block shape
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
     # head_dim: Pallas allows a last block dim equal to the (sub-128) array
@@ -827,6 +994,7 @@ def flash_attention_n_fused(
         dropout_rate=float(dropout_rate),
         grad_bias=bias is not None and bias_needs_grad,
         interpret=bool(interpret),
+        inner_pipeline=inner_pipeline,
     )
 
     qp = jnp.pad(query, ((0, 0), (0, 0), (0, q_len_p - q_len), (0, d_p - d)))

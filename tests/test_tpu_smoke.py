@@ -611,3 +611,48 @@ class TestRound3MosaicPaths:
             scale = max(1.0, float(jnp.max(jnp.abs(b))))
             assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
                 < 5e-3 * scale
+
+    def test_flash_inner_pipeline_long_seq(self):
+        # round-3 long-sequence path: L > single-block cap routes the
+        # forward through the inner emit_pipeline over KV tiles (dynamic
+        # causal bound, d<128 lane-padded). Forward must lower + match;
+        # the VJP mixes this forward with the grid backward.
+        import math
+
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        B, H, L, E = 1, 2, 4096, 64
+        q, k, v = (0.3 * jax.random.normal(kk, (B, H, L, E), jnp.bfloat16)
+                   for kk in ks)
+
+        def fused(q, k, v):
+            return flash_attention_n_fused(
+                q, k, v, softmax_n_param=1.0, is_causal=True)
+
+        def oracle(q, k, v):
+            s = jnp.einsum("bhle,bhse->bhls", q, k,
+                           preferred_element_type=jnp.float32)
+            s = s / math.sqrt(E)
+            m = jnp.tril(jnp.ones((L, L), bool))
+            p = softmax_n(jnp.where(m, s, -1e30), n=1.0, axis=-1)
+            return jnp.einsum("bhls,bhse->bhle", p, v.astype(jnp.float32))
+
+        out = jax.jit(fused)(q, k, v)
+        want = jax.jit(oracle)(q, k, v)
+        assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - want))) < 5e-3
+
+        def lf(q, k, v):
+            return jnp.sum(fused(q, k, v).astype(jnp.float32) ** 2)
+
+        def lr(q, k, v):
+            return jnp.sum(oracle(q, k, v) ** 2)
+
+        gf = jax.jit(jax.grad(lf, (0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(lr, (0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
+                < 5e-3 * scale
