@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import os
 import time
 from collections import deque
 from functools import partial
@@ -1263,9 +1264,11 @@ class InferenceEngine:
 
     # piggybacked-prefill shape constants: prompts up to _PIGGY_CAP tokens
     # ride the decode chunk in cap/num_steps-token slices, at most _PIGGY_G
-    # prompts per chunk (one compiled payload shape per loop variant)
-    _PIGGY_CAP = 128
-    _PIGGY_G = 8
+    # prompts per chunk (one compiled payload shape per loop variant).
+    # Class defaults; overridable per-engine via FASN_PIGGY_CAP/FASN_PIGGY_G
+    # (scheduler experiments — scripts/bench_churn.py) or by assignment.
+    _PIGGY_CAP = int(os.environ.get("FASN_PIGGY_CAP", "128"))
+    _PIGGY_G = int(os.environ.get("FASN_PIGGY_G", "8"))
 
     def _take_piggyback(self, chunk: int) -> Optional[Dict]:
         """Reserve up to _PIGGY_G queued prompts to prefill INSIDE the next
