@@ -426,9 +426,14 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
 
     eng = InferenceEngine(cfg, params, max_batch=slots, max_len=512,
                           kv_quantization="int8")
-    rng = np.random.RandomState(0)
 
     def wave(n):
+        # identical request stream every wave (fresh seed): the engine
+        # drains fully between waves, so the scheduler's chunk/attn_len/
+        # piggyback decision sequence is wave-invariant — the compile wave
+        # then visits EXACTLY the jit variants the measured waves need
+        # (mixed-seed waves used to hit cold variants mid-measurement)
+        rng = np.random.RandomState(0)
         for _ in range(n):
             plen = int(rng.randint(16, 128))  # spans buckets {32, 64, 128}
             budget = int(rng.randint(16, 64))

@@ -180,7 +180,13 @@ def _scores(cfg: FlashConfig, q, k, bias, alibi_slope, iq, ik):
     )
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    return _mask_scores(cfg, s, alibi_slope, iq, ik)
 
+
+def _mask_scores(cfg: FlashConfig, s, alibi_slope, iq, ik):
+    """ALiBi + causal/padding masking of a raw (block_q, block_k) score
+    tile (the post-dot tail of ``_scores``, shared with the transposed
+    inner-pipeline layout)."""
     need_alibi = alibi_slope is not None
     k_padded = cfg.kv_len % cfg.block_k != 0
 
@@ -388,7 +394,8 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
     return o, lse
 
 
-def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
+def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int,
+                         transposed: bool, *refs):
     """Forward with the KV sweep as an inner ``emit_pipeline``.
 
     The grid-path forward pays a Mosaic grid-step re-entry per KV block
@@ -398,6 +405,10 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
     KV blocks wholly above the diagonal are never fetched nor computed —
     the single-block auto-policy config by contrast computes the full
     (L, S) score tile. Forward only; the backward keeps the grid path.
+
+    ``transposed``: k/v arrive as (B, H, d, S) — used for d < 128, where
+    the minor dim of a streamed window must be 128-aligned (S blocks are;
+    d=64 is not). Also avoids the PV lane-pad that doubled MXU N-dim work.
     """
     (q_ref, k_ref, v_ref, b_ref, a_ref, seed_ref), rest = _parse_in_refs(
         cfg, refs)
@@ -426,7 +437,14 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
         ik = pl.program_id(0)  # inner grid index (emit_pipeline grid_env)
         k = k_tile[0, 0]
         v = v_tile[0, 0]
-        s = _scores(cfg, q, k, None, slope, iq, ik)
+        if transposed:
+            # k (d, block_k): contract q's d against dim 0 directly
+            s = jax.lax.dot_general(
+                q, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = _mask_scores(cfg, s, slope, iq, ik)
+        else:
+            s = _scores(cfg, q, k, None, slope, iq, ik)
         m_prev = m_scr[...][:, :1]
         l_prev = l_scr[...][:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -438,21 +456,33 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         if cfg.has_dropout:
             p = p * _dropout_mult(cfg, seed_ref[0, 0], ib, ih, iq, ik)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if transposed:
+            # v (d, block_k): contract p's key dim against v's dim 1
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha + pv
+
+    if transposed:
+        kv_block = (1, 1, d, cfg.block_k)
+
+        def kv_index(ik):
+            return (ib, ih, 0, ik)
+    else:
+        kv_block = (1, 1, cfg.block_k, d)
+
+        def kv_index(ik):
+            return (ib, ih, ik, 0)
 
     pipeline = pltpu.emit_pipeline(
         inner,
         grid=(nk_vis,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cfg.block_k, d),
-                         lambda ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, cfg.block_k, d),
-                         lambda ik: (ib, ih, ik, 0)),
-        ],
+        in_specs=[pl.BlockSpec(kv_block, kv_index),
+                  pl.BlockSpec(kv_block, kv_index)],
     )
     pipeline(k_ref, v_ref)
 
@@ -466,21 +496,23 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int, *refs):
 def _fwd_pipelined(cfg: FlashConfig, q, k, v, alibi_slopes, seed):
     """Inner-pipeline forward launch (no bias support — policy falls back)."""
     q = q * jnp.asarray(cfg.scale, q.dtype)
-    d_in = q.shape[-1]
-    if d_in < 128:
-        # emit_pipeline windows must be 128-aligned on the minor dim (the
-        # HBM-resident stream buffers are physically lane-padded and the
-        # window slice inherits that tiling), so sub-128 head dims pad up.
-        # On the MXU this is ~free: a K=64 contraction already wastes half
-        # the systolic array, and the zero columns add nothing.
-        pad = ((0, 0), (0, 0), (0, 0), (0, 128 - d_in))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     batch, heads, q_len_p, d = q.shape
     kv_len_p = k.shape[2]
     nq = q_len_p // cfg.block_q
     nk = kv_len_p // cfg.block_k
 
-    kernel = functools.partial(_fwd_pipeline_kernel, cfg, nk, d)
+    # emit_pipeline windows must be 128-aligned on the minor dim, which a
+    # d < 128 head dim is not. Streaming k/v TRANSPOSED (B, H, d, S) makes
+    # the minor dim an S block (always aligned) with no lane padding (a
+    # 64->128 pad doubled the PV matmul's N-dim MXU work, measured -13%
+    # at L4096/hd64); the in-kernel dots contract the transposed layout
+    # directly. The one-time transpose is XLA's to fuse or materialize.
+    transposed = d < 128
+    if transposed:
+        k = jnp.swapaxes(k, 2, 3)
+        v = jnp.swapaxes(v, 2, 3)
+
+    kernel = functools.partial(_fwd_pipeline_kernel, cfg, nk, d, transposed)
 
     in_specs = [
         pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, iq: (b, h, iq, 0)),
@@ -531,8 +563,6 @@ def _fwd_pipelined(cfg: FlashConfig, q, k, v, alibi_slopes, seed):
         ),
         interpret=cfg.interpret,
     )(*args)
-    if d_in < d:
-        o = o[..., :d_in]
     return o, lse
 
 
@@ -964,9 +994,13 @@ def flash_attention_n_fused(
             # long-sequence multi-block case: stream KV tiles through an
             # inner emit_pipeline instead of the kv grid dimension (no
             # bias tile support there; FASN_PREFILL_PIPELINE=0 reverts).
-            # TPU only: the interpreter cannot execute emit_pipeline
-            # (pallas/mosaic tpu_info requires a real TPU device kind).
+            # Measured (results/prefill_pipeline.json, v5e): wins 4-6% at
+            # S >= 8k (causal blocks skipped at the DMA level) and at
+            # d >= 128; loses ~4% at S=4096/hd64 where the one-time k/v
+            # transpose outweighs it — so gate on length/width. TPU only:
+            # the interpreter cannot execute emit_pipeline.
             inner_pipeline = (bias is None and not interpret and
+                              (kp_ >= 8192 or d >= 128) and
                               os.environ.get("FASN_PREFILL_PIPELINE",
                                              "1") != "0")
     block_q = min(block_q or 1024, _round_up(q_len, 128))

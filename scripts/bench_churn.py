@@ -39,9 +39,10 @@ def main():
     for slots in slot_list:
         eng = InferenceEngine(cfg, params, max_batch=slots, max_len=512,
                               kv_quantization="int8")
-        rng = np.random.RandomState(0)
 
         def wave(n=192):
+            # identical stream each wave (see bench.bench_serving_churn)
+            rng = np.random.RandomState(0)
             for _ in range(n):
                 plen = int(rng.randint(16, 128))
                 budget = int(rng.randint(16, 64))
