@@ -70,6 +70,9 @@ def main():
     from flash_attention_softmax_n_tpu.models import DecoderConfig
 
     import bench as benchmod
+    # bench.py defers its jax/jnp module globals to acquire_backend()
+    # (relay-wedge hardening); bind them for library use
+    benchmod.jax, benchmod.jnp = jax, jnp
 
     cfg = DecoderConfig(
         vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
