@@ -74,33 +74,48 @@ def main():
     # (relay-wedge hardening); bind them for library use
     benchmod.jax, benchmod.jnp = jax, jnp
 
-    cfg = DecoderConfig(
-        vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
-        n_kv_heads=32, d_ff=11008, max_seq_len=2048, softmax_n=1.0,
-        dtype=jnp.bfloat16)
+    CONFIGS = [
+        # Llama-(1/2)-7B: MHA — KV bytes are the 4x-of-GQA worst case
+        ("7B-MHA (Llama-7B: 32L d4096 H32 KV32 hd128 ff11008 v32000)",
+         DecoderConfig(
+             vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
+             n_kv_heads=32, d_ff=11008, max_seq_len=2048, softmax_n=1.0,
+             dtype=jnp.bfloat16),
+         (48, 32)),
+        # Llama-3-8B: GQA-8, wide vocab — the shape production 7-8B
+        # serving actually uses
+        ("8B-GQA (Llama-3-8B: 32L d4096 H32 KV8 hd128 ff14336 v128256)",
+         DecoderConfig(
+             vocab_size=128256, d_model=4096, n_layers=32, n_heads=32,
+             n_kv_heads=8, d_ff=14336, max_seq_len=2048, softmax_n=1.0,
+             dtype=jnp.bfloat16),
+         (96, 64)),
+    ]
 
-    t0 = time.time()
-    params = init_7b_int8(cfg, jax.random.PRNGKey(0))
-    n_params = 0
-    for leaf in jax.tree.leaves(params):
-        n_params += (leaf.size if leaf.dtype != jnp.int8 else leaf.size)
-    print(f"init+quantize 7B: {time.time()-t0:.1f}s "
-          f"(~{n_params/1e9:.2f}B scalars incl. scales)", flush=True)
-
-    out = {"model": "Llama-7B shape (32L d4096 H32 MHA hd128 ff11008 "
-                    "v32000), softmax_n=1.0, int8 W + int8 KV",
-           "hw": "v5e-1"}
-    for batch in (48, 32):
-        try:
-            tps = benchmod.bench_decode(
-                cfg, params, kv_quantization="int8", batch=batch,
-                prompt_len=128, decode_steps=32, max_len=512)
-            out[f"tok_s_b{batch}"] = round(tps, 1)
-            print(f"7B int8 b={batch}: {tps:.1f} tok/s/chip", flush=True)
-        except Exception as e:
-            out[f"tok_s_b{batch}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-            print(f"7B b={batch} FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+    out = {"hw": "v5e-1", "quant": "int8 W + int8 KV, softmax_n=1.0"}
+    for label, cfg, batches in CONFIGS:
+        t0 = time.time()
+        params = init_7b_int8(cfg, jax.random.PRNGKey(0))
+        print(f"{label}: init+quantize {time.time()-t0:.1f}s", flush=True)
+        res = {}
+        for batch in batches:
+            try:
+                tps = benchmod.bench_decode(
+                    cfg, params, kv_quantization="int8", batch=batch,
+                    prompt_len=128, decode_steps=32, max_len=512)
+                res[f"tok_s_b{batch}"] = round(tps, 1)
+                print(f"{label} b={batch}: {tps:.1f} tok/s/chip",
+                      flush=True)
+                break  # largest batch that compiles+fits is the number
+            except Exception as e:
+                res[f"b{batch}_error"] = (
+                    f"{type(e).__name__}: {str(e)[:160]}")
+                print(f"{label} b={batch} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+        out[label] = res
+        for leaf in jax.tree.leaves(params):
+            leaf.delete()
+        del params
 
     _os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/bench_7b.json", "w") as fh:
