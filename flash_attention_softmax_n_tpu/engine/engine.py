@@ -1334,20 +1334,10 @@ class InferenceEngine:
                                  - sum(len(r.prompt)
                                        for r in piggy["reqs"]))
 
-    def _dispatch_chunk(self, loop_steps: int, piggy: Optional[Dict] = None):
-        """Launch one fused decode chunk; returns the bookkeeping handle
-        (device tokens + the slots that were active at entry). No sync."""
+    def _get_loop(self, loop_steps: int, attn_len: int):
         from flash_attention_softmax_n_tpu.engine.engine import (
             engine_decode_loop,
         )
-
-        # attention cache window: the loop only attends main-cache rows up
-        # to the loop-entry lengths of ACTIVE slots; bucket to 256s so each
-        # loop_steps compiles at most max_len/256 variants
-        entry_active = [i for i, r in enumerate(self.slots) if r is not None]
-        amax = max((int(self._lengths_host[i]) for i in entry_active),
-                   default=0)
-        attn_len = min(self.max_len, -(-max(amax, 1) // 256) * 256)
 
         if not hasattr(self, "_loops"):
             self._loops = {}
@@ -1358,6 +1348,71 @@ class InferenceEngine:
                         num_steps=loop_steps, mesh=self.mesh,
                         attn_len=attn_len),
                 donate_argnames=("cache",))
+        return self._loops[key]
+
+    def prewarm(self, loop_steps: int = 64) -> int:
+        """AOT-compile every greedy fused-loop jit variant this engine can
+        dispatch — (chunk length x attn_len bucket x piggyback payload) —
+        so serving never compiles mid-traffic (measured: a cold variant
+        hit mid-wave costs a multi-second stall; `jit.lower().compile()`
+        with abstract avals populates the same cache the live call uses,
+        so nothing executes and the donated cache is untouched).
+
+        Greedy variants only: per-slot sampling adds (B,) data arrays (a
+        different arg structure) and temperature traffic usually warms
+        them naturally. Returns the number of variants compiled. No-op
+        variants already compiled are skipped by jax's cache (cheap).
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "prewarm targets the single-host fused loop (sharded "
+                "serving compiles its own variants)")
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+        aparams, acache = sds(self.params), sds(self.cache)
+        atoks = jax.ShapeDtypeStruct((self.max_batch,), jnp.int32)
+        aact = jax.ShapeDtypeStruct((self.max_batch,), jnp.bool_)
+        apig = {
+            "p_tokens": jax.ShapeDtypeStruct(
+                (self._PIGGY_G, self._PIGGY_CAP), jnp.int32),
+            "p_slots": jax.ShapeDtypeStruct((self._PIGGY_G,), jnp.int32),
+            "p_true_lens": jax.ShapeDtypeStruct((self._PIGGY_G,),
+                                                jnp.int32),
+        }
+        chunks, c = [], 8
+        while c <= loop_steps:
+            chunks.append(c)
+            c *= 2
+        if loop_steps >= 8 and loop_steps not in chunks:
+            chunks.append(loop_steps)
+        lens = sorted({min(self.max_len, 256 * i)
+                       for i in range(1, -(-self.max_len // 256) + 1)})
+        n = 0
+        for chunk in chunks:
+            for al in lens:
+                loop = self._get_loop(chunk, al)
+                loop.lower(params=aparams, tokens=atoks, cache=acache,
+                           active=aact).compile()
+                n += 1
+                if (self.piggyback_prefill and chunk <= self._PIGGY_CAP
+                        and self._PIGGY_CAP % chunk == 0):
+                    loop.lower(params=aparams, tokens=atoks, cache=acache,
+                               active=aact, **apig).compile()
+                    n += 1
+        return n
+
+    def _dispatch_chunk(self, loop_steps: int, piggy: Optional[Dict] = None):
+        """Launch one fused decode chunk; returns the bookkeeping handle
+        (device tokens + the slots that were active at entry). No sync."""
+        # attention cache window: the loop only attends main-cache rows up
+        # to the loop-entry lengths of ACTIVE slots; bucket to 256s so each
+        # loop_steps compiles at most max_len/256 variants
+        entry_active = [i for i, r in enumerate(self.slots) if r is not None]
+        amax = max((int(self._lengths_host[i]) for i in entry_active),
+                   default=0)
+        attn_len = min(self.max_len, -(-max(amax, 1) // 256) * 256)
+        key = (loop_steps, attn_len)
+        self._get_loop(loop_steps, attn_len)
         active = jnp.asarray([r is not None for r in self.slots], bool)
         # per-slot sampling settings are DATA (B,) arrays, so mixed batches
         # share the executable; all-greedy passes None to keep the fused

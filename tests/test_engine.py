@@ -522,3 +522,28 @@ class TestLoopServing:
             "workload never piggybacked — the test lost its subject")
         without_piggy, _ = run(False)
         assert with_piggy == without_piggy
+
+
+class TestPrewarm:
+    def test_prewarm_counts_and_parity(self, params):
+        # prewarm AOT-compiles the greedy (chunk x attn_len x piggy)
+        # variant grid without executing anything (donated cache must be
+        # untouched), and a prewarmed engine serves identical tokens
+        eng = InferenceEngine(TINY, params, max_batch=4, max_len=128)
+        n = eng.prewarm(loop_steps=16)
+        # chunks {8, 16} x attn_len bucket {128} x {plain, piggy} = 4
+        assert n == 4
+        prompts = [[1, 2, 3], [10, 20, 30, 40], [7]]
+        expected = {tuple(p): reference_tokens(params, p, 6)
+                    for p in prompts}
+        ids = {eng.submit(p, max_new_tokens=6): tuple(p) for p in prompts}
+        done = eng.run_until_done(loop_steps=16)
+        assert len(done) == 3
+        for req in done:
+            assert req.output == expected[ids[req.request_id]]
+
+    def test_prewarm_rejects_mesh(self, params):
+        eng = InferenceEngine(TINY, params, max_batch=4, max_len=128)
+        eng.mesh = object()  # sentinel; prewarm must refuse
+        with pytest.raises(NotImplementedError):
+            eng.prewarm()
