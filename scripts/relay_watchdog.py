@@ -39,7 +39,10 @@ RESULTS = os.path.join(REPO, "results")
 RECOVERY = os.path.join(RESULTS, "recovery")
 POLL_SECS = int(os.environ.get("WATCHDOG_POLL_SECS", "300"))
 REFRESH_SECS = int(os.environ.get("WATCHDOG_REFRESH_SECS", "7200"))
-PROBE_TIMEOUT = 120
+# cold backend init can exceed 120s with the relay perfectly healthy
+# (measured 2026-08-19: 120s probes false-reported "relay down" for 25min
+# straight); 240s keeps false negatives out of the log
+PROBE_TIMEOUT = int(os.environ.get("WATCHDOG_PROBE_TIMEOUT", "240"))
 
 PROBE = (
     "import jax, jax.numpy as jnp; "
