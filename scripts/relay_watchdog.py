@@ -149,7 +149,12 @@ def main() -> None:
                 # when the round closes (the relay may wedge again anytime)
                 if refresh_after is None or time.time() >= refresh_after:
                     print(f"[{now()}] RELAY UP (refresh bench)", flush=True)
-                    run_queue([s for s in QUEUE if s[0] == "bench_1"])
+                    # pass the accumulated done set: run_queue saves DONE
+                    # on success, and a default empty set would OVERWRITE
+                    # the file with just {bench_1} (hit 2026-08-19 — a
+                    # watchdog restart then re-ran the whole queue)
+                    run_queue([s for s in QUEUE if s[0] == "bench_1"],
+                              done=done)
                     refresh_after = time.time() + REFRESH_SECS
                 time.sleep(POLL_SECS)
                 continue
