@@ -63,6 +63,12 @@ __all__ = ["flash_attention_n_fused", "flash_attention_block_grads",
            "FlashConfig"]
 
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
+# Any real lse satisfies lse > DEAD_LSE (scores are bounded by |q||k|·scale);
+# only the fully-masked-row sentinel lse == NEG_INF falls below it. Clamping
+# lse to DEAD_LSE in the backward makes p = exp(NEG_INF - DEAD_LSE) = 0 for
+# such rows instead of exp(NEG_INF - NEG_INF) = 1 (n == 0 rectangular causal
+# with q_len > kv_len — see _epilogue_l below).
+DEAD_LSE = 0.5 * NEG_INF
 LANES = 128  # TPU vreg lane count; (m, l) scratch is replicated across lanes
 
 
@@ -229,6 +235,26 @@ def _mask_scores(cfg: FlashConfig, s, alibi_slope, iq, ik):
     return jax.lax.cond(need, masked, lambda s: s, s)
 
 
+def _finalize(cfg: FlashConfig, m, l, acc, out_dtype):
+    """Shared forward epilogue: o = acc / l with dead rows made DEFINED.
+
+    Dead rows are (a) rows whose every block was skipped (l == 0) and,
+    at n == 0, (b) rows whose m never left the NEG_INF init sentinel —
+    no causally-visible key, so each VISITED block accumulated garbage
+    p = exp(NEG_INF - NEG_INF) = 1 per key into l AND acc (NEG_INF is
+    finite). Reachable via rectangular causal q_len > kv_len (reference
+    functional.py:80 permits tril(diagonal=S-L) with S < L). Both emit
+    o = 0 / lse = NEG_INF. n > 0 rows are immune (m0 = 0, l0 = n gives
+    a clean 0/n = 0). Returns (o, lse) with lse lane-replicated like m."""
+    dead = l == 0.0
+    if cfg.n == 0 and cfg.is_causal and _causal_offset(cfg) < 0:
+        dead = jnp.logical_or(dead, m == NEG_INF)
+    l_safe = jnp.where(dead, 1.0, l)
+    o = jnp.where(dead[:, :1], 0.0, acc / l_safe[:, :1]).astype(out_dtype)
+    lse = jnp.where(dead, NEG_INF, m + jnp.log(l_safe))
+    return o, lse
+
+
 # ----------------------------------------------------------------------------
 # Forward
 # ----------------------------------------------------------------------------
@@ -303,12 +329,11 @@ def _fwd_kernel(cfg: FlashConfig, num_kv_blocks: int, *refs):
 
     @pl.when(ik == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scr[...]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
         # lse = log(n + sum_j exp(s_j)) — the softmax-N normalizer; the lone
         # residual the backward needs (cf. reference flash_attn_triton.py:116).
-        lse = jnp.where(l == 0.0, NEG_INF, m_scr[...] + jnp.log(l_safe))
+        o, lse = _finalize(cfg, m_scr[...], l_scr[...], acc_scr[...],
+                           o_ref.dtype)
+        o_ref[0, 0] = o
         lse_ref[0, 0] = lse[:, :1]
 
 
@@ -426,10 +451,14 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int,
     slope = a_ref[0, 0] if a_ref is not None else None
 
     if cfg.is_causal:
-        # last KV block index any row of this q block can see; +1 => count
+        # last KV block index any row of this q block can see; +1 => count.
+        # Can be 0 (rectangular causal q_len > kv_len: a q block entirely
+        # before the first key) — such blocks skip the pipeline below and
+        # take the defined l == 0 epilogue (o = 0, lse = NEG_INF), exactly
+        # like the grid path's invisible-block skip.
         q_max = iq * cfg.block_q + cfg.block_q - 1
         nk_vis = jnp.clip(
-            (q_max + _causal_offset(cfg)) // cfg.block_k + 1, 1, nk)
+            (q_max + _causal_offset(cfg)) // cfg.block_k + 1, 0, nk)
     else:
         nk_vis = nk
 
@@ -484,12 +513,15 @@ def _fwd_pipeline_kernel(cfg: FlashConfig, nk: int, d: int,
         in_specs=[pl.BlockSpec(kv_block, kv_index),
                   pl.BlockSpec(kv_block, kv_index)],
     )
-    pipeline(k_ref, v_ref)
+    if cfg.is_causal and _causal_offset(cfg) < 0:
+        # nk_vis can be 0 only when q_len > kv_len (static offset < 0)
+        pl.when(nk_vis > 0)(lambda: pipeline(k_ref, v_ref))
+    else:
+        pipeline(k_ref, v_ref)
 
-    l = l_scr[...]
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, NEG_INF, m_scr[...] + jnp.log(l_safe))
+    o, lse = _finalize(cfg, m_scr[...], l_scr[...], acc_scr[...],
+                       o_ref.dtype)
+    o_ref[0, 0] = o
     lse_ref[0, 0] = lse[:, :1]
 
 
@@ -602,7 +634,9 @@ def _bwd_dq_kernel(cfg: FlashConfig, num_q_blocks: int, num_kv_blocks: int,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]  # (block_q, 1)
+        # clamp: the fully-masked-row sentinel lse == NEG_INF must yield
+        # p = 0 (zero grads), not exp(NEG_INF - NEG_INF) = 1 (see DEAD_LSE)
+        lse = jnp.maximum(lse_ref[0, 0], DEAD_LSE)  # (block_q, 1)
         delta = dl_ref[0, 0]  # (block_q, 1)
         bias = b_ref[0, 0] if b_ref is not None else None
         slope = a_ref[0, 0] if a_ref is not None else None
@@ -681,7 +715,7 @@ def _bwd_dkv_kernel(cfg: FlashConfig, num_q_blocks: int, *refs):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]  # (block_q, 1)
+        lse = jnp.maximum(lse_ref[0, 0], DEAD_LSE)  # (block_q, 1); see dq
         delta = dl_ref[0, 0]  # (block_q, 1)
         bias = b_ref[0, 0] if b_ref is not None else None
         slope = a_ref[0, 0] if a_ref is not None else None

@@ -108,6 +108,60 @@ class TestFlashForward:
                                    atol=1e-7)
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    def test_fully_masked_rows_defined_at_n0_multiblock(self):
+        # n == 0, L > S causal across MULTIPLE q blocks: q block 0 is
+        # entirely causally invisible (skipped), q block 1 contains dead
+        # rows alongside live ones (the misaligned partial-block case).
+        # The softmax-0 oracle is NaN on dead rows; the kernel defines
+        # o = 0 there, and live rows must match the oracle exactly.
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        L, S = 300, 100  # offset = -200: rows 0..199 dead, 200..299 live
+        q, k, v = _qkv4(jax.random.PRNGKey(11), 1, 2, L, 32, S=S)
+        out = flash_attention_n_fused(
+            q, k, v, softmax_n_param=0.0, is_causal=True,
+            block_q=128, block_k=128)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(out[:, :, :L - S],
+                                   np.zeros((1, 2, L - S, 32)), atol=1e-7)
+        # live rows == square-causal oracle on the cropped problem
+        expected = slow_attention_n(q[:, :, L - S:], k, v,
+                                    softmax_n_param=0.0, is_causal=True)
+        np.testing.assert_allclose(out[:, :, L - S:], expected,
+                                   atol=ATOL[jnp.float32])
+
+    def test_dead_row_grads_are_zero_at_n0(self):
+        # gradients through n == 0 dead rows: dq on dead rows must be 0 and
+        # dk/dv must equal the cropped (live-rows-only) problem's grads —
+        # dead rows must not leak exp(NEG_INF - NEG_INF) = 1 weights into
+        # the backward (lse clamp, kernels/flash_attention.py DEAD_LSE).
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        L, S = 300, 100
+        q, k, v = _qkv4(jax.random.PRNGKey(12), 1, 1, L, 32, S=S)
+
+        def loss_full(q, k, v):
+            o = flash_attention_n_fused(q, k, v, softmax_n_param=0.0,
+                                        is_causal=True,
+                                        block_q=128, block_k=128)
+            return jnp.sum(o ** 2)
+
+        def loss_crop(qc, k, v):
+            o = slow_attention_n(qc, k, v, softmax_n_param=0.0,
+                                 is_causal=True)
+            return jnp.sum(o ** 2)
+
+        dq, dk, dv = jax.grad(loss_full, (0, 1, 2))(q, k, v)
+        dqc, dkc, dvc = jax.grad(loss_crop, (0, 1, 2))(q[:, :, L - S:], k, v)
+        assert bool(jnp.all(jnp.isfinite(dq)))
+        np.testing.assert_allclose(dq[:, :, :L - S],
+                                   np.zeros((1, 1, L - S, 32)), atol=1e-7)
+        np.testing.assert_allclose(dq[:, :, L - S:], dqc, atol=2e-3)
+        np.testing.assert_allclose(dk, dkc, atol=2e-3)
+        np.testing.assert_allclose(dv, dvc, atol=2e-3)
+
 
 class TestFlashMasksAndBias:
     def test_bool_mask(self):

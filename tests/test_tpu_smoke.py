@@ -612,6 +612,44 @@ class TestRound3MosaicPaths:
             assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
                 < 5e-3 * scale
 
+    def test_flash_inner_pipeline_dead_rows_n0(self, monkeypatch):
+        # round-4 fix (ADVICE r3 medium): pipelined causal forward at
+        # n == 0 with q_len > kv_len — q blocks with NO visible key must
+        # skip the inner pipeline (nk_vis == 0) and emit the defined o = 0,
+        # and dead rows inside partially-visible blocks must not leak the
+        # exp(NEG_INF - NEG_INF) = 1 garbage average of V.
+        import math
+
+        monkeypatch.setenv("FASN_PREFILL_PIPELINE", "force")
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        B, H, E = 1, 2, 64
+        L, S = 2200, 700  # offset -1500: block 0 invisible, block 1 partial
+        q = 0.3 * jax.random.normal(ks[0], (B, H, L, E), jnp.bfloat16)
+        k = 0.3 * jax.random.normal(ks[1], (B, H, S, E), jnp.bfloat16)
+        v = 0.3 * jax.random.normal(ks[2], (B, H, S, E), jnp.bfloat16)
+
+        out = jax.jit(lambda q, k, v: flash_attention_n_fused(
+            q, k, v, softmax_n_param=0.0, is_causal=True,
+            block_q=1024, block_k=512))(q, k, v)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert float(jnp.max(jnp.abs(out[:, :, :L - S]))) == 0.0
+
+        def oracle(qc, k, v):
+            s = jnp.einsum("bhle,bhse->bhls", qc, k,
+                           preferred_element_type=jnp.float32)
+            s = s / math.sqrt(E)
+            m = jnp.tril(jnp.ones((S, S), bool))
+            p = softmax_n(jnp.where(m, s, -1e30), n=0.0, axis=-1)
+            return jnp.einsum("bhls,bhse->bhle", p, v.astype(jnp.float32))
+
+        want = jax.jit(oracle)(q[:, :, L - S:], k, v)
+        assert float(jnp.max(jnp.abs(
+            out[:, :, L - S:].astype(jnp.float32) - want))) < 5e-3
+
     def test_flash_inner_pipeline_long_seq(self, monkeypatch):
         # round-3 long-sequence path: the inner emit_pipeline forward over
         # transposed KV tiles (dynamic causal bound). Forced on at this
