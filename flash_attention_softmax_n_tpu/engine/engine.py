@@ -937,6 +937,14 @@ class InferenceEngine:
         self.max_len = max_len or cfg.max_seq_len
         self.pad_token = pad_token
         self._CHUNK = prefill_chunk
+        # piggyback shape knobs: env read at CONSTRUCTION (not import), so
+        # experiments can set FASN_PIGGY_* per engine without mutating
+        # engines built earlier in the process; plain attribute assignment
+        # after construction also works
+        self._PIGGY_CAP = int(os.environ.get("FASN_PIGGY_CAP",
+                                             str(self._PIGGY_CAP)))
+        self._PIGGY_G = int(os.environ.get("FASN_PIGGY_G",
+                                           str(self._PIGGY_G)))
         self._id_gen = itertools.count()
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -1265,10 +1273,10 @@ class InferenceEngine:
     # piggybacked-prefill shape constants: prompts up to _PIGGY_CAP tokens
     # ride the decode chunk in cap/num_steps-token slices, at most _PIGGY_G
     # prompts per chunk (one compiled payload shape per loop variant).
-    # Class defaults; overridable per-engine via FASN_PIGGY_CAP/FASN_PIGGY_G
-    # (scheduler experiments — scripts/bench_churn.py) or by assignment.
-    _PIGGY_CAP = int(os.environ.get("FASN_PIGGY_CAP", "128"))
-    _PIGGY_G = int(os.environ.get("FASN_PIGGY_G", "8"))
+    # Class-level defaults only; __init__ re-reads FASN_PIGGY_CAP/FASN_PIGGY_G
+    # per engine (scheduler experiments — scripts/bench_churn.py).
+    _PIGGY_CAP = 128
+    _PIGGY_G = 8
 
     def _take_piggyback(self, chunk: int) -> Optional[Dict]:
         """Reserve up to _PIGGY_G queued prompts to prefill INSIDE the next
@@ -1350,13 +1358,19 @@ class InferenceEngine:
                 donate_argnames=("cache",))
         return self._loops[key]
 
-    def prewarm(self, loop_steps: int = 64) -> int:
+    def prewarm(self, loop_steps: int = 64,
+                attn_lens: Optional[List[int]] = None) -> int:
         """AOT-compile every greedy fused-loop jit variant this engine can
         dispatch — (chunk length x attn_len bucket x piggyback payload) —
         so serving never compiles mid-traffic (measured: a cold variant
         hit mid-wave costs a multi-second stall; `jit.lower().compile()`
         with abstract avals populates the same cache the live call uses,
         so nothing executes and the donated cache is untouched).
+
+        ``attn_lens``: restrict to these attention-window buckets (each a
+        multiple of 256, capped at max_len) when the caller knows its
+        workload's length ceiling — every bucket costs one full AOT
+        compile per chunk variant. Default: all buckets up to max_len.
 
         Greedy variants only: per-slot sampling adds (B,) data arrays (a
         different arg structure) and temperature traffic usually warms
@@ -1379,14 +1393,30 @@ class InferenceEngine:
             "p_true_lens": jax.ShapeDtypeStruct((self._PIGGY_G,),
                                                 jnp.int32),
         }
-        chunks, c = [], 8
+        # candidate chunks = _chunk_steps' candidates (powers of two plus
+        # the loop_steps ceiling itself), CLOSED under _fused_chunk_len's
+        # headroom halving (chunk //= 2 while chunk > 8) — a non-power-of-
+        # two ceiling like 48 can dispatch 24/12/6, which must not be cold
+        cands = {loop_steps} if loop_steps >= 8 else set()
+        c = 8
         while c <= loop_steps:
-            chunks.append(c)
+            cands.add(c)
             c *= 2
-        if loop_steps >= 8 and loop_steps not in chunks:
-            chunks.append(loop_steps)
-        lens = sorted({min(self.max_len, 256 * i)
-                       for i in range(1, -(-self.max_len // 256) + 1)})
+        chunk_set, stack = set(), list(cands)
+        while stack:
+            c = stack.pop()
+            if c in chunk_set:
+                continue
+            chunk_set.add(c)
+            if c > 8:
+                stack.append(c // 2)
+        chunks = sorted(chunk_set)
+        if attn_lens is not None:
+            lens = sorted({min(self.max_len, -(-int(al) // 256) * 256)
+                           for al in attn_lens})
+        else:
+            lens = sorted({min(self.max_len, 256 * i)
+                           for i in range(1, -(-self.max_len // 256) + 1)})
         n = 0
         for chunk in chunks:
             for al in lens:

@@ -542,6 +542,16 @@ class TestPrewarm:
         for req in done:
             assert req.output == expected[ids[req.request_id]]
 
+    def test_prewarm_covers_non_power_of_two_halvings(self, params):
+        # _fused_chunk_len halves a headroom-squeezed chunk (48 -> 24 ->
+        # 12 -> 6); prewarm must compile that closure, not just powers of
+        # two (ADVICE r3: a 48-ceiling could stall on a cold 24-variant)
+        eng = InferenceEngine(TINY, params, max_batch=4, max_len=128)
+        n = eng.prewarm(loop_steps=48)
+        # chunks {6,8,12,16,24,32,48} x lens {128} x piggy for {8,16,32}
+        assert n == 10
+        assert {k[0] for k in eng._loops} == {6, 8, 12, 16, 24, 32, 48}
+
     def test_prewarm_rejects_mesh(self, params):
         eng = InferenceEngine(TINY, params, max_batch=4, max_len=128)
         eng.mesh = object()  # sentinel; prewarm must refuse
