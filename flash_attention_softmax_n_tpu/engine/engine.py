@@ -1376,13 +1376,17 @@ class InferenceEngine:
         different arg structure) and temperature traffic usually warms
         them naturally. Returns the number of variants compiled. No-op
         variants already compiled are skipped by jax's cache (cheap).
+
+        Sharded engines (``mesh``) prewarm too (round-4, VERDICT r3 item
+        8): params/cache avals carry their live NamedShardings so the AOT
+        executable is the one the live dispatch looks up — a mesh engine
+        otherwise keeps the mid-traffic compile-stall failure mode the
+        single-chip path fixed. Piggyback variants are single-host only
+        (piggybacked prefill is disabled under mesh, _take_piggyback).
         """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "prewarm targets the single-host fused loop (sharded "
-                "serving compiles its own variants)")
         sds = lambda t: jax.tree.map(  # noqa: E731
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+            lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=getattr(a, "sharding", None)), t)
         aparams, acache = sds(self.params), sds(self.cache)
         atoks = jax.ShapeDtypeStruct((self.max_batch,), jnp.int32)
         aact = jax.ShapeDtypeStruct((self.max_batch,), jnp.bool_)
@@ -1424,7 +1428,8 @@ class InferenceEngine:
                 loop.lower(params=aparams, tokens=atoks, cache=acache,
                            active=aact).compile()
                 n += 1
-                if (self.piggyback_prefill and chunk <= self._PIGGY_CAP
+                if (self.piggyback_prefill and self.mesh is None
+                        and chunk <= self._PIGGY_CAP
                         and self._PIGGY_CAP % chunk == 0):
                     loop.lower(params=aparams, tokens=atoks, cache=acache,
                                active=aact, **apig).compile()

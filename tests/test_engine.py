@@ -552,8 +552,36 @@ class TestPrewarm:
         assert n == 10
         assert {k[0] for k in eng._loops} == {6, 8, 12, 16, 24, 32, 48}
 
-    def test_prewarm_rejects_mesh(self, params):
-        eng = InferenceEngine(TINY, params, max_batch=4, max_len=128)
-        eng.mesh = object()  # sentinel; prewarm must refuse
-        with pytest.raises(NotImplementedError):
-            eng.prewarm()
+    def test_prewarm_on_mesh_and_parity(self, params):
+        # round-4 (VERDICT r3 item 8): sharded engines prewarm too. The
+        # AOT-compiled variants must serve token-identically to an
+        # unwarmed single-device engine, and prewarm must not execute
+        # anything (the donated sharded cache stays untouched).
+        import dataclasses
+
+        from flash_attention_softmax_n_tpu.models import (
+            init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        cfg = dataclasses.replace(TINY, n_heads=8, n_kv_heads=4)
+        mparams = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8], [2, 7]]
+
+        def run(mesh, prewarm):
+            eng = InferenceEngine(cfg, mparams, max_batch=4, max_len=64,
+                                  mesh=mesh)
+            if prewarm:
+                n = eng.prewarm(loop_steps=8)
+                # chunks {8} x attn_len bucket {64}; no piggy under mesh
+                assert n == (1 if mesh is not None else 2)
+            for j, p in enumerate(prompts):
+                eng.submit(p, max_new_tokens=6 + j)
+            done = eng.run_until_done(loop_steps=8)
+            return {r.request_id: r.output for r in done}
+
+        ref = run(None, prewarm=False)
+        mesh = make_mesh({"data": 2, "model": 4})
+        assert run(mesh, prewarm=True) == ref
