@@ -166,6 +166,18 @@ def bench_decode(cfg, params, *, kv_quantization, batch=512, prompt_len=128,
         engine_prefill_batch,
     )
 
+    # pre-flight: refuse configs that would crash the Mosaic compile
+    # helper with an opaque HTTP 500 (VERDICT r3 item 5 — 7B b=48)
+    from flash_attention_softmax_n_tpu.utils.profiling import (
+        check_decode_hbm_fit,
+        pytree_bytes,
+    )
+    est = check_decode_hbm_fit(cfg, batch, max_len, kv_quantization,
+                               pytree_bytes(params))
+    log(f"HBM pre-flight: params {est['params']/2**30:.1f} + "
+        f"kv {est['kv_cache']/2**30:.1f} + ws {est['workspace']/2**30:.1f} "
+        f"= {est['total']/2**30:.1f} GB")
+
     if kv_quantization:
         from flash_attention_softmax_n_tpu.quant.kv_cache import (
             init_quantized_kv_cache,

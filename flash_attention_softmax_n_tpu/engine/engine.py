@@ -973,6 +973,18 @@ class InferenceEngine:
         # classic admission can't reuse them
         self._pending_prefill: Dict[int, Request] = {}
 
+        if jax.default_backend() == "tpu" and mesh is None:
+            # pre-flight HBM fence (single-chip only — a mesh divides the
+            # cache/weights across devices): past ~12.5 GB resident the
+            # Mosaic compile helper crashes with an opaque HTTP 500
+            # instead of an OOM (utils/profiling.check_decode_hbm_fit)
+            from flash_attention_softmax_n_tpu.utils.profiling import (
+                check_decode_hbm_fit,
+                pytree_bytes,
+            )
+            check_decode_hbm_fit(cfg, max_batch, self.max_len,
+                                 kv_quantization, pytree_bytes(params))
+
         if kv_quantization is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
                 init_quantized_kv_cache,

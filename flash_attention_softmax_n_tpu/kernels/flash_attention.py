@@ -238,21 +238,26 @@ def _mask_scores(cfg: FlashConfig, s, alibi_slope, iq, ik):
 def _finalize(cfg: FlashConfig, m, l, acc, out_dtype):
     """Shared forward epilogue: o = acc / l with dead rows made DEFINED.
 
-    Dead rows are (a) rows whose every block was skipped (l == 0) and,
-    at n == 0, (b) rows whose m never left the NEG_INF init sentinel —
-    no causally-visible key, so each VISITED block accumulated garbage
+    Dead rows (a query row with NO visible key) exist only for
+    rectangular causal q_len > kv_len (reference functional.py:80 permits
+    tril(diagonal=S-L) with S < L). At n == 0 such a row keeps m at the
+    NEG_INF init sentinel and every VISITED block accumulated garbage
     p = exp(NEG_INF - NEG_INF) = 1 per key into l AND acc (NEG_INF is
-    finite). Reachable via rectangular causal q_len > kv_len (reference
-    functional.py:80 permits tril(diagonal=S-L) with S < L). Both emit
-    o = 0 / lse = NEG_INF. n > 0 rows are immune (m0 = 0, l0 = n gives
-    a clean 0/n = 0). Returns (o, lse) with lse lane-replicated like m."""
-    dead = l == 0.0
+    finite); fully-skipped rows have l == 0. Both emit o = 0 /
+    lse = NEG_INF. At n > 0 dead rows are clean already (m0 = 0, l0 = n
+    gives 0/n = 0 and the exact lse = log(n)). Every OTHER configuration
+    guarantees l > 0 for every row, so the standard epilogue runs
+    guard-free — the guard's extra selects cost ~0.3MB VMEM, which the
+    2048 single-block config (sitting exactly at the scoped-vmem limit)
+    cannot afford. Returns (o, lse) with lse lane-replicated like m."""
     if cfg.n == 0 and cfg.is_causal and _causal_offset(cfg) < 0:
-        dead = jnp.logical_or(dead, m == NEG_INF)
-    l_safe = jnp.where(dead, 1.0, l)
-    o = jnp.where(dead[:, :1], 0.0, acc / l_safe[:, :1]).astype(out_dtype)
-    lse = jnp.where(dead, NEG_INF, m + jnp.log(l_safe))
-    return o, lse
+        dead = jnp.logical_or(l == 0.0, m == NEG_INF)
+        l_safe = jnp.where(dead, 1.0, l)
+        o = jnp.where(dead[:, :1], 0.0,
+                      acc / l_safe[:, :1]).astype(out_dtype)
+        lse = jnp.where(dead, NEG_INF, m + jnp.log(l_safe))
+        return o, lse
+    return (acc / l[:, :1]).astype(out_dtype), m + jnp.log(l)
 
 
 # ----------------------------------------------------------------------------
@@ -1007,6 +1012,37 @@ def flash_attention_n_fused(
             raise ValueError("dropout_rate > 0 requires dropout_seed")
         seed = jnp.asarray(dropout_seed, jnp.int32)
 
+    # causal STAIRCASE (round 4): the phase profile
+    # (artifacts/prefill_phase_profile.json) shows the kernel at its DOT
+    # floor — softmax/mask add ~nothing, and every causal tile-skipping
+    # tiling LOSES to one big block (artifacts/prefill_causal_sweep.json)
+    # because small per-tile dots can't sustain the floor rate. The one
+    # remaining causal saving that keeps big dots: split q into P-row
+    # pieces where piece i attends keys [0, P*(i+1)) as its own
+    # SINGLE-BLOCK rectangular-causal call (piece offset == the
+    # rectangular causal offset, so the phantom-key math is exact per
+    # piece, and the VJP composes through the slice/concat). Work drops
+    # to (nq+1)/(2nq) of the rectangle with every dot still (P, w)-sized.
+    _stair = os.environ.get("FASN_CAUSAL_STAIRCASE", "1")
+    if (_stair != "0" and block_q is None and block_k is None
+            and is_causal and bias is None and alibi_slopes is None
+            and dropout_rate == 0.0 and q_len == kv_len
+            and (not interpret or _stair == "force")):
+        P = int(os.environ.get("FASN_STAIR_P", "1024"))
+        if q_len % P == 0 and 2 <= q_len // P and q_len <= 4096:
+            outs = []
+            for i in range(q_len // P):
+                w = P * (i + 1)
+                outs.append(flash_attention_n_fused(
+                    query[:, :, P * i:P * (i + 1)], key[:, :, :w],
+                    value[:, :, :w], softmax_n_param=softmax_n_param,
+                    scale=scale, is_causal=True, interpret=interpret,
+                    return_residuals=return_residuals))
+            if return_residuals:
+                return (jnp.concatenate([o for o, _ in outs], axis=2),
+                        jnp.concatenate([l for _, l in outs], axis=2))
+            return jnp.concatenate(outs, axis=2)
+
     # block auto-policy (measured: results/recovery/sweep_prefill_v2.log).
     # Mosaic grid-step overhead dominates this kernel on v5e: a single
     # (L, S) block runs 1.5x faster than the best multi-block tiling at
@@ -1029,12 +1065,15 @@ def flash_attention_n_fused(
             # inner emit_pipeline instead of the kv grid dimension (no
             # bias tile support there; FASN_PREFILL_PIPELINE=0 reverts).
             # Measured (results/prefill_pipeline.json, v5e): wins 4-6% at
-            # S >= 8k (causal blocks skipped at the DMA level) and at
-            # d >= 128; loses ~4% at S=4096/hd64 where the one-time k/v
-            # transpose outweighs it — so gate on length/width. TPU only:
-            # the interpreter cannot execute emit_pipeline.
+            # S >= 8k (causal blocks skipped at the DMA level); at
+            # d >= 128 it wins from S >= 4096 (1.440 vs 1.464 ms) but
+            # LOSES at S = 2048 (1.287 vs grid 1.196 —
+            # artifacts/prefill_causal_sweep.json, r4); at S=4096/hd64 the
+            # one-time k/v transpose outweighs it — gate on length/width.
+            # TPU only: the interpreter cannot execute emit_pipeline.
             inner_pipeline = (bias is None and not interpret and
-                              (kp_ >= 8192 or d >= 128) and
+                              (kp_ >= 8192
+                               or (d >= 128 and kp_ >= 4096)) and
                               os.environ.get("FASN_PREFILL_PIPELINE",
                                              "1") != "0")
     block_q = min(block_q or 1024, _round_up(q_len, 128))
@@ -1044,6 +1083,30 @@ def flash_attention_n_fused(
         inner_pipeline = True  # experiment hook: pipeline at ANY block shape
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
+    # Fence the known Mosaic compile-helper crash class (first-party error
+    # instead of an opaque 'HTTP 500: tpu_compile_helper subprocess exit
+    # code 1'). Reproduced on v5e (artifacts/prefill_causal_sweep.json,
+    # r3/r4): any MULTI-block grid with a 2048 side dies in the compile
+    # helper, as does the inner pipeline at block_q>=2048 with
+    # block_k>=1024 (pipeline with block_k<=512 and the single 2048x2048
+    # block both compile and run). Auto policy never emits these; explicit
+    # block args could.
+    if not interpret and max(block_q, block_k) >= 2048:
+        nq_t, nk_t = q_len_p // block_q, kv_len_p // block_k
+        # single-block asymmetric (e.g. the chunked-prefill (256, 2048)
+        # tile) compiles and runs; only MULTI-block grids with a 2048
+        # side (and the pipeline at 2048x>=1024) crash
+        bad = ((not inner_pipeline and (nq_t > 1 or nk_t > 1))
+               or (inner_pipeline and block_q >= 2048 and block_k >= 1024))
+        if bad:
+            raise ValueError(
+                f"block config ({block_q}, {block_k}) over padded lens "
+                f"({q_len_p}, {kv_len_p}) hits a known Mosaic "
+                f"compile-helper crash on v5e (multi-block grids with a "
+                f"2048 side; pipeline 2048x>=1024 — see "
+                f"artifacts/prefill_causal_sweep.json). Use blocks "
+                f"<= 1024, a single block covering the padded lens, or "
+                f"the inner pipeline with block_k <= 512.")
     # head_dim: Pallas allows a last block dim equal to the (sub-128) array
     # dim, so common small head dims run UNPADDED — padding 64 -> 128 would
     # double every q/k/v DMA byte and materialize padded copies in HBM

@@ -23,7 +23,9 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "measure", "attention_roofline", "ChipSpec", "V5E", "V5P"]
+__all__ = ["trace", "measure", "attention_roofline", "ChipSpec", "V5E",
+           "V5P", "pytree_bytes", "estimate_decode_hbm_bytes",
+           "check_decode_hbm_fit"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +64,76 @@ def measure(fn: Callable, *args, iters: int = 10, **kwargs) -> float:
 def _host_sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def pytree_bytes(tree) -> int:
+    """Total device bytes of a parameter pytree (QTensor-leaf aware —
+    QTensors flatten into their values/scales arrays)."""
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def estimate_decode_hbm_bytes(cfg, batch: int, max_len: int,
+                              kv_quantization, params_bytes: int) -> dict:
+    """Resident-HBM estimate for a continuous-batching decode engine.
+
+    weights + KV cache + a workspace term for the largest transients the
+    fused loop keeps live (per-chunk token/logit buffers, double-buffered
+    layer activations, XLA scratch). The estimate exists to FENCE the
+    known crash class where the Mosaic compile helper dies with an opaque
+    'HTTP 500: subprocess exit code 1' instead of an OOM (observed:
+    Llama-7B MHA at b=48 — int8 weights 6.7 GB + int8 KV 6.4 GB ~= 13.5 GB
+    resident, artifacts/bench_7b.json), so its job is to be roughly right
+    with a conservative margin, not exact.
+    """
+    kv_bytes_per = {None: 2, "int8": 1, "fp8": 1}.get(kv_quantization, 1)
+    scale_bytes = 0 if kv_quantization is None else 4  # f32 per-token scale
+    kv = (cfg.n_layers * batch * cfg.n_kv_heads * max_len
+          * (cfg.head_dim * kv_bytes_per + scale_bytes) * 2)  # k and v
+    # workspace: admission-group prefill logits (8 x 128-bucket x vocab
+    # f32 — the engine's admission group and the bench's prompt bucket),
+    # layer activations, attention stats. Calibrated against the known
+    # good/bad 7B-class points: 8B-GQA b=96 (runs, 12.0 GB est) must pass
+    # while 7B-MHA b=48 (crashes, 13.5 GB est) must not.
+    workspace = (batch * cfg.d_model * 4 * 8
+                 + 8 * min(128, max_len) * cfg.vocab_size * 4
+                 + batch * cfg.n_heads * max_len * 4)
+    total = params_bytes + kv + workspace
+    return {"params": params_bytes, "kv_cache": kv,
+            "workspace": workspace, "total": total}
+
+
+def check_decode_hbm_fit(cfg, batch: int, max_len: int, kv_quantization,
+                         params_bytes: int,
+                         budget_bytes: int | None = None) -> dict:
+    """Raise a first-party error when a decode config cannot fit HBM.
+
+    ``budget_bytes`` defaults to FASN_HBM_BUDGET_GB (12.5 GB on v5e-16GB:
+    the 13.5 GB-resident 7B b=48 config crashes the compile helper, the
+    11.2 GB b=32/b=96 configs run — the margin covers XLA workspace the
+    estimate cannot see). Returns the estimate breakdown when it fits.
+    """
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(float(os.environ.get("FASN_HBM_BUDGET_GB",
+                                                "12.5")) * 2 ** 30)
+    est = estimate_decode_hbm_bytes(cfg, batch, max_len, kv_quantization,
+                                    params_bytes)
+    if est["total"] > budget_bytes:
+        gb = 2 ** 30
+        raise RuntimeError(
+            f"decode config will not fit HBM: params "
+            f"{est['params']/gb:.1f} GB + KV cache {est['kv_cache']/gb:.1f}"
+            f" GB (batch={batch}, max_len={max_len}, "
+            f"kv={kv_quantization or 'dense'}) + workspace "
+            f"{est['workspace']/gb:.1f} GB = {est['total']/gb:.1f} GB > "
+            f"budget {budget_bytes/gb:.1f} GB. Past this point the Mosaic "
+            f"compile helper dies with an opaque 'HTTP 500: subprocess "
+            f"exit code 1' (artifacts/bench_7b.json, 7B b=48). Reduce "
+            f"batch/max_len, quantize the KV cache, or raise "
+            f"FASN_HBM_BUDGET_GB if your chip has more memory.")
+    return est
 
 
 def attention_roofline(batch: int, heads: int, q_len: int, kv_len: int,

@@ -26,7 +26,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from scripts._timing import time_scan_dep
+from scripts._timing import time_scan
 
 CONFIGS = [
     ("B2_H32_L2048_hd64", 2, 32, 2048, 64),
@@ -64,7 +64,7 @@ def main():
                     return flash_attention_n_fused(
                         q, k, v, softmax_n_param=1.0, is_causal=True,
                         block_q=bq, block_k=bk)
-                dt = time_scan_dep(fn, q, k, v, reps=20)
+                dt = time_scan(fn, q, k, v, reps=20)
             except Exception as e:  # noqa: BLE001 - sweep resilience
                 print(f"{label} {name}: FAILED {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
@@ -82,7 +82,7 @@ def main():
         def fn_auto(q, k, v):
             return flash_attention_n_fused(
                 q, k, v, softmax_n_param=1.0, is_causal=True)
-        dt = time_scan_dep(fn_auto, q, k, v, reps=20)
+        dt = time_scan(fn_auto, q, k, v, reps=20)
         row["auto"] = {"ms": round(dt * 1e3, 3),
                        "sol_pct": round(100.0 * rf["sol_time"] / dt, 1)}
         print(f"{label} auto: {dt*1e3:.3f} ms "

@@ -536,3 +536,34 @@ class TestPublicAPI:
         out = f(q, k, v)
         expected = slow_attention_n(q, k, v, softmax_n_param=1.0)
         np.testing.assert_allclose(out, expected, atol=ATOL[jnp.float32])
+
+
+class TestMosaicCrashFence:
+    def test_multiblock_2048_grid_rejected(self):
+        # known v5e Mosaic compile-helper crash class (r4 fence): reject
+        # with a first-party error BEFORE the opaque HTTP 500. interpret
+        # mode skips the fence, so force the non-interpret path check via
+        # interpret=False trace-time validation (the error raises before
+        # any pallas_call is built).
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(0), 1, 1, 4096, 32)
+        with pytest.raises(ValueError, match="compile-helper crash"):
+            flash_attention_n_fused(q, k, v, softmax_n_param=1.0,
+                                    block_q=2048, block_k=1024,
+                                    interpret=False)
+
+    def test_single_block_asymmetric_allowed(self):
+        # the chunked-prefill tile (q chunk vs full kv) is a single
+        # asymmetric block with a 2048 side — measured working; the fence
+        # must not catch it (runs in interpret mode here)
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(1), 1, 1, 256, 32, S=2048)
+        out = flash_attention_n_fused(q, k, v, softmax_n_param=1.0,
+                                      is_causal=True)
+        expected = slow_attention_n(q, k, v, softmax_n_param=1.0,
+                                    is_causal=True)
+        np.testing.assert_allclose(out, expected, atol=ATOL[jnp.float32])

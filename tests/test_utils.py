@@ -189,3 +189,56 @@ class TestCheckpointModelFamilies:
         a = xlnet_forward(params, cfg, ids)["last_hidden_state"]
         b = xlnet_forward(restored, cfg2, ids)["last_hidden_state"]
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestHbmPreflight:
+    """The Mosaic compile-helper crash fence (VERDICT r3 item 5): the
+    known-crash 7B-MHA b=48 recipe (int8 W 6.7 GB + int8 KV 6.4 GB ~=
+    13.5 GB resident -> opaque 'HTTP 500: subprocess exit code 1',
+    artifacts/bench_7b.json) must be refused with a first-party error,
+    while every measured-working config passes."""
+
+    def _cfg(self, **kw):
+        from flash_attention_softmax_n_tpu.models import DecoderConfig
+        return DecoderConfig(**kw)
+
+    def test_known_crash_recipe_refused(self):
+        from flash_attention_softmax_n_tpu.utils.profiling import (
+            check_decode_hbm_fit,
+        )
+        cfg7b = self._cfg(vocab_size=32000, d_model=4096, n_layers=32,
+                          n_heads=32, n_kv_heads=32, d_ff=11008,
+                          max_seq_len=2048)
+        w7b = 6_740_000_000  # int8 weights + scales
+        with pytest.raises(RuntimeError, match="will not fit HBM"):
+            check_decode_hbm_fit(cfg7b, 48, 512, "int8", w7b)
+        # the measured-working point at the same geometry passes
+        est = check_decode_hbm_fit(cfg7b, 32, 512, "int8", w7b)
+        assert est["total"] < 12.5 * 2 ** 30
+
+    def test_known_good_configs_pass(self):
+        from flash_attention_softmax_n_tpu.utils.profiling import (
+            check_decode_hbm_fit,
+        )
+        # Llama-3-8B GQA b=96 (runs at 4.9k tok/s, artifacts/bench_7b.json)
+        cfg8b = self._cfg(vocab_size=128256, d_model=4096, n_layers=32,
+                          n_heads=32, n_kv_heads=8, d_ff=14336,
+                          max_seq_len=2048)
+        check_decode_hbm_fit(cfg8b, 96, 512, "int8", 8_050_000_000)
+        # TinyLlama b=512 int8 headline and b=256 dense baseline
+        cfg1b = self._cfg(vocab_size=32000, d_model=2048, n_layers=22,
+                          n_heads=32, n_kv_heads=4, d_ff=5632,
+                          max_seq_len=2048)
+        check_decode_hbm_fit(cfg1b, 512, 512, "int8", 1_100_000_000)
+        check_decode_hbm_fit(cfg1b, 1024, 512, "int8", 1_100_000_000)
+        check_decode_hbm_fit(cfg1b, 256, 512, None, 2_200_000_000)
+
+    def test_budget_env_override(self, monkeypatch):
+        from flash_attention_softmax_n_tpu.utils.profiling import (
+            check_decode_hbm_fit,
+        )
+        cfg = self._cfg(vocab_size=256, d_model=64, n_layers=2, n_heads=4,
+                        n_kv_heads=4, d_ff=128, max_seq_len=64)
+        monkeypatch.setenv("FASN_HBM_BUDGET_GB", "0.000001")
+        with pytest.raises(RuntimeError, match="FASN_HBM_BUDGET_GB"):
+            check_decode_hbm_fit(cfg, 2, 64, None, 10_000)
