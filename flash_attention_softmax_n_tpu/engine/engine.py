@@ -945,6 +945,12 @@ class InferenceEngine:
                                              str(self._PIGGY_CAP)))
         self._PIGGY_G = int(os.environ.get("FASN_PIGGY_G",
                                            str(self._PIGGY_G)))
+        # admission group width: requests prefilled per batched dispatch.
+        # Wider groups amortize the weight stream over more prompt rows
+        # (M = group x bucket on the MXU — the int8 matmul probe puts
+        # M=2048 far above M=1024) at the cost of more padding when
+        # traffic trickles; {2, 4, ..., _ADMIT_G} widths each compile once
+        self._ADMIT_G = int(os.environ.get("FASN_ADMIT_G", "8"))
         self._id_gen = itertools.count()
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -972,6 +978,12 @@ class InferenceEngine:
         # token is back, so chunk planning/active masks skip them and
         # classic admission can't reuse them
         self._pending_prefill: Dict[int, Request] = {}
+        # prefix cache (round 4): registered shared-prompt prefixes live in
+        # detached KV stores; admission copies store rows into a hit's slot
+        # and prefills only the suffix (register_prefix / _match_prefix)
+        self._kv_quantization = kv_quantization
+        self._prefixes: List[Dict] = []
+        self._prefix_inserts: Dict = {}
 
         if jax.default_backend() == "tpu" and mesh is None:
             # pre-flight HBM fence (single-chip only — a mesh divides the
@@ -1593,8 +1605,18 @@ class InferenceEngine:
         by_bucket: Dict[int, deque] = {}
         order: List[int] = []
         long_reqs: List[Request] = []
+        by_prefix: Dict[Tuple[int, int, int], deque] = {}
         cc = self._CHUNK
         for req in self.queue:
+            if self._prefixes:
+                m = self._match_prefix(req.prompt)
+                if (m is not None
+                        and -(-len(req.prompt) // cc) * cc <= self.max_len):
+                    p, reuse = m
+                    nch = -(-len(req.prompt) // cc)
+                    by_prefix.setdefault((p["id"], reuse, nch),
+                                         deque()).append(req)
+                    continue
             if (len(req.prompt) > cc
                     and -(-len(req.prompt) // cc) * cc <= self.max_len):
                 # chunk-padded length must fit the cache extent; prompts
@@ -1611,7 +1633,7 @@ class InferenceEngine:
                 order.append(bkt)
             by_bucket[bkt].append(req)
         admitted: set = set()
-        nb = min(8, self.max_batch)
+        nb = min(self._ADMIT_G, self.max_batch)
         if self.mesh is not None:
             # the meshed prefill shard_maps over 'data': the group batch
             # must divide the axis (max_batch % dp == 0 is the engine
@@ -1731,12 +1753,66 @@ class InferenceEngine:
                     admit_group(group, nb, prefill,
                                 padded_len=n_chunks * cc)
 
+        def run_prefix_lane():
+            # prefix-cache hits: scatter the store's rows into the group's
+            # slots (one jitted copy, broadcast over the group), then run
+            # only the SUFFIX chunks through the ordinary continuation
+            # prefill (same compiled variants as the chunked lane)
+            for pkey in sorted(by_prefix):
+                pid, reuse, n_chunks = pkey
+                store = next(p["store"] for p in self._prefixes
+                             if p["id"] == pid)
+                dq = by_prefix[pkey]
+                while free and dq:
+                    group = take_group(dq)
+
+                    def prefill(padded_group, true_lens, slots,
+                                n_chunks=n_chunks, reuse=reuse, store=store):
+                        self.cache = self._prefix_insert(
+                            reuse, len(padded_group))(
+                            cache=self.cache, store=store, slots=slots)
+                        padded = [r.prompt
+                                  + [self.pad_token] * (n_chunks * cc
+                                                        - len(r.prompt))
+                                  for _, r in padded_group]
+                        logits = None
+                        for ci in range(reuse // cc, n_chunks):
+                            toks_c = jnp.asarray(
+                                [p[ci * cc:(ci + 1) * cc] for p in padded],
+                                jnp.int32)
+                            logits, self.cache = self._prefill_chunk(
+                                ci * cc)(
+                                params=self.params, tokens=toks_c,
+                                true_lens=true_lens, slots=slots,
+                                cache=self.cache)
+                        c = self.counters
+                        c["prefix_hits"] = (c.get("prefix_hits", 0)
+                                            + len(group))
+                        c["prefix_reused_tokens"] = (
+                            c.get("prefix_reused_tokens", 0)
+                            + reuse * len(group))
+                        # admit_group counted the full prompts as real
+                        # prefill work; the reused rows were never
+                        # prefilled, so pad-waste accounting excludes them
+                        c["prefill_real_tokens"] = (
+                            c.get("prefill_real_tokens", 0)
+                            - reuse * len(group))
+                        return logits
+
+                    admit_group(group, nb, prefill,
+                                padded_len=n_chunks * cc - reuse)
+
         # anti-starvation: when the OLDEST queued request is a long
-        # prompt, its lane runs first — otherwise sustained short traffic
-        # would consume every free slot ahead of it forever
-        lanes = [run_bucket_lane, run_chunked_lane]
-        if long_reqs and self.queue and self.queue[0] is long_reqs[0]:
-            lanes.reverse()
+        # prompt (or a prefix hit), its lane runs first — otherwise
+        # sustained short traffic would consume every free slot ahead of
+        # it forever
+        lanes = [run_bucket_lane, run_prefix_lane, run_chunked_lane]
+        if self.queue:
+            head = self.queue[0]
+            if long_reqs and head is long_reqs[0]:
+                lanes = [run_chunked_lane, run_prefix_lane, run_bucket_lane]
+            elif any(head is r for dq in by_prefix.values() for r in dq):
+                lanes = [run_prefix_lane, run_bucket_lane, run_chunked_lane]
         for lane in lanes:
             lane()
         if admitted:
@@ -1744,6 +1820,117 @@ class InferenceEngine:
             self.queue = deque(r for r in self.queue
                                if id(r) not in admitted)
         return pending
+
+    # -- prefix caching -------------------------------------------------
+
+    def register_prefix(self, tokens: List[int]) -> int:
+        """Prefill a shared prompt prefix ONCE into a detached KV store.
+
+        Serving workloads share system-prompt prefixes; admission is the
+        larger half of churn time (CLAUDE.md decode-step model), so a
+        prompt that starts with a registered prefix reuses the stored KV
+        rows (a device copy, ~1 MB/request) and prefills only its suffix
+        through the existing chunked-continuation lane — the compiled
+        shapes are EXACTLY the long-prompt continuation variants, so the
+        hit path adds no new jit variants beyond the per-(rows, width)
+        insert scatter.
+
+        Only whole prefill-chunks are stored (floor(len/chunk) * chunk
+        rows): the suffix prefill then starts at a chunk boundary. The
+        store is quantized exactly like the main cache, so a hit is
+        bit-identical to having prefilled those rows in place. Returns a
+        prefix id; prompts match the LONGEST registered prefix.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "prefix cache is single-host (the store copy would need a "
+                "data-axis scatter; register on the per-host engines)")
+        cc = self._CHUNK
+        rows = (len(tokens) // cc) * cc
+        if rows < cc:
+            raise ValueError(
+                f"prefix must be >= prefill_chunk={cc} tokens to be worth "
+                f"caching (got {len(tokens)})")
+        if rows > self.max_len:
+            raise ValueError("prefix longer than engine max_len")
+        cfg = self.cfg
+        if self._kv_quantization is not None:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                init_quantized_kv_cache,
+            )
+            scratch = init_quantized_kv_cache(
+                cfg.n_layers, 1, cfg.n_kv_heads, rows, cfg.head_dim,
+                mode=self._kv_quantization)
+        else:
+            shape = (cfg.n_layers, 1, cfg.n_kv_heads, rows, cfg.head_dim)
+            scratch = {"k": jnp.zeros(shape, cfg.dtype),
+                       "v": jnp.zeros(shape, cfg.dtype)}
+        scratch["lengths"] = jnp.zeros((1,), jnp.int32)
+        scratch.pop("length", None)
+        tl = jnp.asarray([rows], jnp.int32)
+        sl = jnp.asarray([0], jnp.int32)
+        for ci in range(rows // cc):
+            toks = jnp.asarray([tokens[ci * cc:(ci + 1) * cc]], jnp.int32)
+            _, scratch = self._prefill_chunk(ci * cc)(
+                params=self.params, tokens=toks, true_lens=tl, slots=sl,
+                cache=scratch)
+        if isinstance(scratch["k"], QTensor):
+            store = {
+                "k": QTensor(scratch["k"].values[:, 0],
+                             scratch["k"].scales[:, 0],
+                             bits=scratch["k"].bits),
+                "v": QTensor(scratch["v"].values[:, 0],
+                             scratch["v"].scales[:, 0],
+                             bits=scratch["v"].bits),
+            }
+        else:
+            store = {"k": scratch["k"][:, 0], "v": scratch["v"][:, 0]}
+        pid = len(self._prefixes)
+        self._prefixes.append({"id": pid, "tokens": tuple(tokens[:rows]),
+                               "rows": rows, "store": store})
+        self._prefixes.sort(key=lambda p: -p["rows"])  # longest-match first
+        return pid
+
+    def _match_prefix(self, prompt: List[int]):
+        """(prefix_entry, reuse_rows) for the longest registered prefix of
+        ``prompt``, or None. reuse is clamped to whole chunks strictly
+        inside the prompt (>= 1 suffix token must remain to produce the
+        first sampled logits)."""
+        cc = self._CHUNK
+        cap = ((len(prompt) - 1) // cc) * cc
+        for p in self._prefixes:
+            reuse = min(p["rows"], cap)
+            if reuse >= cc and tuple(prompt[:reuse]) == p["tokens"][:reuse]:
+                return p, reuse
+        return None
+
+    def _prefix_insert(self, rows: int, width: int):
+        """jitted (cache, store, slots) -> cache: scatter the store's
+        first ``rows`` KV rows into ``width`` slots (donated cache)."""
+        key = (rows, width)
+        if key not in self._prefix_inserts:
+            def insert(cache, store, slots):
+                cache = dict(cache)
+
+                def wr(ckv, skv):
+                    if isinstance(ckv, QTensor):
+                        return QTensor(
+                            ckv.values.at[:, slots, :, :rows].set(
+                                skv.values[:, None, :, :rows].astype(
+                                    ckv.values.dtype)),
+                            ckv.scales.at[:, slots, :, :rows].set(
+                                skv.scales[:, None, :, :rows]),
+                            bits=ckv.bits)
+                    return ckv.at[:, slots, :, :rows].set(
+                        skv[:, None, :, :rows].astype(ckv.dtype))
+
+                cache["k"] = wr(cache["k"], store["k"])
+                cache["v"] = wr(cache["v"], store["v"])
+                return cache
+
+            self._prefix_inserts[key] = jax.jit(
+                insert, donate_argnames=("cache",))
+        return self._prefix_inserts[key]
 
     def _prefill_chunk(self, offset: int):
         if not hasattr(self, "_prefill_chunks"):

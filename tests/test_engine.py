@@ -585,3 +585,100 @@ class TestPrewarm:
         ref = run(None, prewarm=False)
         mesh = make_mesh({"data": 2, "model": 4})
         assert run(mesh, prewarm=True) == ref
+
+
+class TestPrefixCache:
+    """register_prefix + prefix-hit admission (round 4, VERDICT r3 item
+    9): hits must be token-identical to cold prefill, reuse must show in
+    the counters, and non-matching traffic must be unaffected."""
+
+    def _run(self, params, prompts, register, kv_quantization=None,
+             prefill_chunk=16, max_len=128):
+        eng = InferenceEngine(TINY, params, max_batch=4, max_len=max_len,
+                              kv_quantization=kv_quantization,
+                              prefill_chunk=prefill_chunk)
+        for p in register:
+            eng.register_prefix(p)
+        ids = {eng.submit(p, max_new_tokens=6): tuple(p) for p in prompts}
+        done = eng.run_until_done(loop_steps=8)
+        return ({ids[r.request_id]: r.output for r in done},
+                eng.counters_report())
+
+    def test_hit_matches_cold_prefill(self, params):
+        rng = np.random.RandomState(7)
+        prefix = rng.randint(0, TINY.vocab_size, size=33).tolist()
+        prompts = [
+            prefix + rng.randint(0, TINY.vocab_size, size=n).tolist()
+            for n in (5, 11, 2)
+        ] + [rng.randint(0, TINY.vocab_size, size=40).tolist(),  # no match
+             [4, 2]]                                             # short
+        cold, _ = self._run(params, prompts, register=[])
+        warm, counters = self._run(params, prompts, register=[prefix])
+        assert counters.get("prefix_hits", 0) == 3
+        # chunk=16: floor(33/16)*16 = 32 rows reused per hit
+        assert counters.get("prefix_reused_tokens", 0) == 3 * 32
+        assert warm == cold
+
+    def test_hit_matches_with_quantized_cache(self, params):
+        # the store is quantized like the cache, so a hit must be
+        # BIT-identical to prefilling the same rows in place
+        rng = np.random.RandomState(8)
+        prefix = rng.randint(0, TINY.vocab_size, size=32).tolist()
+        prompts = [prefix + rng.randint(0, TINY.vocab_size,
+                                        size=n).tolist() for n in (3, 9)]
+        cold, _ = self._run(params, prompts, register=[],
+                            kv_quantization="int8")
+        warm, counters = self._run(params, prompts, register=[prefix],
+                                   kv_quantization="int8")
+        assert counters.get("prefix_hits", 0) == 2
+        assert warm == cold
+
+    def test_prompt_equal_to_prefix(self, params):
+        # prompt == registered prefix: at least one suffix token must
+        # remain to produce the first sampled logits (reuse clamps to
+        # whole chunks strictly inside the prompt)
+        rng = np.random.RandomState(9)
+        prefix = rng.randint(0, TINY.vocab_size, size=32).tolist()
+        cold, _ = self._run(params, [prefix], register=[])
+        warm, counters = self._run(params, [prefix], register=[prefix])
+        assert counters.get("prefix_hits", 0) == 1
+        assert counters.get("prefix_reused_tokens", 0) == 16  # one chunk
+        assert warm == cold
+
+    def test_longest_prefix_wins(self, params):
+        rng = np.random.RandomState(10)
+        short = rng.randint(0, TINY.vocab_size, size=16).tolist()
+        long_ = short + rng.randint(0, TINY.vocab_size, size=16).tolist()
+        prompt = long_ + [5, 6, 7]
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=128,
+                              prefill_chunk=16)
+        eng.register_prefix(short)
+        eng.register_prefix(long_)
+        m = eng._match_prefix(prompt)
+        assert m is not None and m[1] == 32
+
+    def test_register_validation(self, params):
+        eng = InferenceEngine(TINY, params, max_batch=2, max_len=64,
+                              prefill_chunk=16)
+        with pytest.raises(ValueError, match="prefill_chunk"):
+            eng.register_prefix([1, 2, 3])
+        with pytest.raises(ValueError, match="max_len"):
+            eng.register_prefix(list(range(90)) * 2)
+
+
+class TestAdmitGroupWidth:
+    def test_wide_admission_group_matches(self, params, monkeypatch):
+        # FASN_ADMIT_G=16: wider batched admission must stay
+        # token-identical (padding rows scatter to a drop index)
+        prompts = [[i + 1, i + 2, i + 3] for i in range(20)]
+        expected = {tuple(p): reference_tokens(params, p, 5)
+                    for p in prompts}
+
+        monkeypatch.setenv("FASN_ADMIT_G", "16")
+        eng = InferenceEngine(TINY, params, max_batch=32, max_len=64)
+        assert eng._ADMIT_G == 16
+        ids = {eng.submit(p, max_new_tokens=5): tuple(p) for p in prompts}
+        done = eng.run_until_done(loop_steps=8)
+        assert len(done) == 20
+        for req in done:
+            assert req.output == expected[ids[req.request_id]]
