@@ -123,6 +123,16 @@ def acquire_backend(attempts=3, probe_timeout=240):
     wd = watchdog(probe_timeout + 60, "in-process backend init")
     import jax  # noqa: F811 (module-level import is deferred to here)
     import jax.numpy as jnp
+    if os.environ.get("FASN_JIT_CACHE", "1") != "0":
+        # persistent compilation cache (verified working through the axon
+        # relay's AOT compile helper: cached compile+run 0.2s vs 1.4s
+        # cold). The first bench run of a container populates it; repeat
+        # runs spend their deadline on MEASUREMENT instead of compiles.
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "results", "jitcache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     wd.cancel()
     return jax, jnp
@@ -616,10 +626,14 @@ def main():
         emit_and_exit()
 
     # the headline FIRST: if anything later dies, this number survives.
-    # quantized: INT8 weight-only + INT8 KV cache at b=512 (dense bf16
-    # can't fit that batch — half the quantization win IS the extra slots)
+    # quantized: INT8 weight-only + INT8 KV cache at b=768 (dense bf16
+    # can't fit that batch — half the quantization win IS the extra
+    # slots; 768 > 512 since round 4: the int8 dequant tax on the
+    # per-step matmuls fades as M grows, artifacts/decode_batch_scaling)
     qparams = quantize_decoder_weights(params, bits=8)
-    quant_tps = bench_decode(cfg, qparams, kv_quantization="int8")
+    RESULTS["headline_batch"] = 768
+    quant_tps = bench_decode(cfg, qparams, kv_quantization="int8",
+                             batch=768)
     RESULTS["quant_tps"] = quant_tps
 
     # dense baseline: bf16 weights, bf16 KV at its HBM-limited best b=256
@@ -629,13 +643,8 @@ def main():
         RESULTS["dense_tps"] = dense_tps
     del params
 
-    churn = _fenced("serving churn", bench_serving_churn, cfg, qparams)
-    if churn:
-        RESULTS["churn_tps"] = churn[0]
-    # same request mix with a 192-slot pool (>= the wave's concurrency):
-    # every request admits immediately, so decode parallelism amortizes
-    # the ~1.7ms fixed step cost over 3x the slots (slot scaling:
-    # scripts/bench_churn.py, artifacts/churn_slot_scaling.json)
+    # churn192 before churn64 (VERDICT r3 item 1 is about the 192 number;
+    # the watchdog should clip the least important tail first)
     churn192 = _fenced("serving churn b192", bench_serving_churn, cfg,
                        qparams, slots=192, also_prefix_len=256)
     if churn192:
@@ -643,6 +652,9 @@ def main():
         RESULTS["churn192_spread_pct"] = churn192[1]
         if churn192[2]:
             RESULTS["churn192_prefix_tps"] = churn192[2]
+    churn = _fenced("serving churn", bench_serving_churn, cfg, qparams)
+    if churn:
+        RESULTS["churn_tps"] = churn[0]
 
     # attn kernel % of SOL at the engine's REAL operating point
     # (b=256/S=2048 — VERDICT r3 item 2: the b=32/S=512 default is

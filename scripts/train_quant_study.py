@@ -161,6 +161,11 @@ def main() -> None:
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    import os as _cache_os
+    _cd = _cache_os.path.join(_cache_os.path.dirname(_cache_os.path.dirname(_cache_os.path.abspath(__file__))), 'results', 'jitcache')
+    _cache_os.makedirs(_cd, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cd)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
     ntag = f"n{args.softmax_n:g}".replace(".", "p")
     ckpt_dir = REPO / "results" / "quant_study" / ntag

@@ -803,3 +803,35 @@ class TestFineTuneTrainStep:
         moved = jax.tree_util.tree_map(
             lambda a, b: bool(jnp.any(a != b)), params, new_params)
         assert any(jax.tree_util.tree_leaves(moved))
+
+
+class TestRingPaddingStory:
+    def test_causal_right_padding_needs_no_mask(self):
+        # the ring's documented mask story (r4): with causal attention,
+        # right-padded KEY positions are never attended by real queries,
+        # so real rows of the padded problem equal the unpadded problem
+        # exactly — the loss mask is the only mask training needs
+        require_devices(4)
+        mesh = make_mesh({"sp": 4})
+        b, h, e, true_len, L = 1, 2, 32, 40, 64
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, L, e)) for kk in ks)
+        # poison the padding tail to prove it can't leak in
+        k = k.at[:, :, true_len:].set(1e9)
+        v = v.at[:, :, true_len:].set(-1e9)
+        out = jax.jit(lambda q, k, v: ring_attention_n(
+            q, k, v, mesh=mesh, axis_name="sp", softmax_n_param=1.0,
+            is_causal=True))(q, k, v)
+        crop = jax.jit(lambda q, k, v: ring_attention_n(
+            q, k, v, mesh=mesh, axis_name="sp", softmax_n_param=1.0,
+            is_causal=True))(q[:, :, :true_len], k[:, :, :true_len],
+                             v[:, :, :true_len])
+        np.testing.assert_allclose(out[:, :, :true_len], crop, atol=1e-5)
+
+    def test_attn_mask_rejected_with_guidance(self):
+        require_devices(4)
+        mesh = make_mesh({"sp": 4})
+        q = jnp.zeros((1, 2, 16, 32))
+        with pytest.raises(NotImplementedError, match="LOSS"):
+            ring_attention_n(q, q, q, mesh=mesh, axis_name="sp",
+                             attn_mask=jnp.ones((1, 1, 16, 16), bool))
