@@ -625,23 +625,28 @@ def main():
             RESULTS["dense_tps"] = dense_tps
         emit_and_exit()
 
-    # the headline FIRST: if anything later dies, this number survives.
-    # quantized: INT8 weight-only + INT8 KV cache at b=768 (dense bf16
-    # can't fit that batch — half the quantization win IS the extra
-    # slots; 768 > 512 since round 4: the int8 dequant tax on the
-    # per-step matmuls fades as M grows, artifacts/decode_batch_scaling)
+    # dense baseline first: bf16 weights, bf16 KV at its HBM-limited best
+    # b=256 — then the dense params are FREED, because the b=768 headline
+    # needs the headroom (the first donated-cache loop call transiently
+    # holds input+output caches, 2 x 4.4 GB; with the 2.2 GB dense pytree
+    # still alive it OOMs — measured, r4)
     qparams = quantize_decoder_weights(params, bits=8)
-    RESULTS["headline_batch"] = 768
-    quant_tps = bench_decode(cfg, qparams, kv_quantization="int8",
-                             batch=768)
-    RESULTS["quant_tps"] = quant_tps
-
-    # dense baseline: bf16 weights, bf16 KV at its HBM-limited best b=256
     dense_tps = _fenced("dense baseline", bench_decode, cfg, params,
                         kv_quantization=None, batch=256)
     if dense_tps:
         RESULTS["dense_tps"] = dense_tps
     del params
+    import gc as _gc
+    _gc.collect()
+
+    # the headline: INT8 weight-only + INT8 KV cache at b=768 (dense bf16
+    # can't fit that batch — half the quantization win IS the extra
+    # slots; 768 > 512 since round 4: the int8 dequant tax on the
+    # per-step matmuls fades as M grows, artifacts/decode_batch_scaling)
+    RESULTS["headline_batch"] = 768
+    quant_tps = bench_decode(cfg, qparams, kv_quantization="int8",
+                             batch=768)
+    RESULTS["quant_tps"] = quant_tps
 
     # churn192 before churn64 (VERDICT r3 item 1 is about the 192 number;
     # the watchdog should clip the least important tail first)

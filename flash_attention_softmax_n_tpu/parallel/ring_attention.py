@@ -354,14 +354,27 @@ def ring_attention_n(
 
     cfg = (axis_name, float(scale), float(softmax_n_param), bool(is_causal),
            implementation)
-    spec = P(None, None, axis_name, None)
-    # only the ring axis goes manual; any other mesh axes (data/model in a
-    # combined TP x DP x SP train step) stay under GSPMD control, so batch
-    # and head shardings pass through untouched instead of being gathered
+    if implementation == "pallas":
+        # a pallas_call cannot sit under ANY GSPMD-partitioned mesh axis
+        # ("Mosaic kernels cannot be automatically partitioned", hit by
+        # the combined TP x DP x SP train step on real TPU, r4) — take
+        # every mesh axis manual, sharding batch over 'data' and heads
+        # over 'model' when those axes exist. (A hybrid 'dcn_data' axis
+        # would need adding here too.)
+        axes = set(mesh.axis_names)
+        spec = P("data" if "data" in axes else None,
+                 "model" if "model" in axes else None, axis_name, None)
+        manual = frozenset(axes)
+    else:
+        # xla path: only the ring axis goes manual; other mesh axes
+        # (data/model) stay under GSPMD control, so batch and head
+        # shardings pass through untouched instead of being gathered
+        spec = P(None, None, axis_name, None)
+        manual = frozenset({axis_name})
     return shard_map(
         functools.partial(_ring_local, cfg), mesh=mesh,
         in_specs=(spec, spec, spec), out_specs=spec,
-        axis_names=frozenset({axis_name}),
+        axis_names=manual,
         # pallas_call emits vma-less out avals (cf. ops/flash_attention's
         # meshed path); the ring's carries are retyped defensively by
         # _pcast_varying, which no-ops when the check is off

@@ -62,7 +62,7 @@ from flash_attention_softmax_n_tpu.utils.checkpoint import (
 )
 
 CORPUS_DIRS = [
-    "/usr/local/lib/python3.12/site-packages",
+    "/opt/venv/lib/python3.12/site-packages",  # the live venv (~GBs of .py)
     "/usr/lib/python3.12",
     str(REPO),
 ]
@@ -180,7 +180,9 @@ def main() -> None:
     cfg = DecoderConfig(
         vocab_size=256, d_model=args.d_model, n_layers=args.layers,
         n_heads=args.heads, n_kv_heads=args.kv_heads, d_ff=args.d_ff,
-        max_seq_len=args.seq, softmax_n=args.softmax_n, dtype=jnp.bfloat16)
+        max_seq_len=args.seq, softmax_n=args.softmax_n, dtype=jnp.bfloat16,
+        remat=True)  # layer-scan residuals at d_ff 2816 x b32 are 18 GB
+        #              without remat (measured OOM) — recompute instead
     cfg_init = DecoderConfig(**{**cfg.__dict__, "dtype": jnp.float32})
 
     warmup = min(500, max(1, args.steps // 10))

@@ -835,3 +835,47 @@ class TestRingPaddingStory:
         with pytest.raises(NotImplementedError, match="LOSS"):
             ring_attention_n(q, q, q, mesh=mesh, axis_name="sp",
                              attn_mask=jnp.ones((1, 1, 16, 16), bool))
+
+
+class TestRingCombinedMeshPallas:
+    def test_ring_pallas_under_tp_dp_sp_mesh(self):
+        # r4 fix: a pallas_call cannot sit under ANY GSPMD-partitioned
+        # axis — the ring's shard_map must take data/model manual too
+        # (hit by the combined TP x DP x SP train step on real TPU)
+        require_devices(8)
+        mesh = make_mesh({"data": 2, "model": 2, "sp": 2})
+        b, h, l, e = 2, 4, 32, 32
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks)
+        out = jax.jit(lambda q, k, v: ring_attention_n(
+            q, k, v, mesh=mesh, axis_name="sp", softmax_n_param=1.0,
+            is_causal=True, implementation="pallas"))(q, k, v)
+        expected = slow_attention_n(q, k, v, softmax_n_param=1.0,
+                                    is_causal=True)
+        np.testing.assert_allclose(out, expected, atol=2e-4)
+
+    def test_sp_train_step_pallas(self):
+        # the failing configuration end-to-end: make_train_step with an
+        # sp axis and the pallas ring implementation forced via config
+        require_devices(8)
+        import dataclasses
+
+        from flash_attention_softmax_n_tpu.models import (
+            DecoderConfig,
+            init_decoder_params,
+        )
+        from flash_attention_softmax_n_tpu.parallel import make_train_step
+
+        cfg = DecoderConfig(
+            vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4,
+            d_ff=128, max_seq_len=64, softmax_n=1.0, dtype=jnp.float32,
+            attn_implementation="pallas", remat=True)
+        mesh = make_mesh({"data": 2, "model": 2, "sp": 2})
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0,
+                                    cfg.vocab_size)
+        init, step = make_train_step(cfg, mesh, learning_rate=1e-3,
+                                     sp_axis="sp")
+        p, o = init(params)
+        _, _, loss = step(p, o, tokens)
+        assert bool(jnp.isfinite(loss))
