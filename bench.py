@@ -61,7 +61,8 @@ def emit_and_exit(error=None, code=0):
             out["vs_baseline"] = round(
                 RESULTS["quant_tps"] / RESULTS["dense_tps"], 3)
     for k in ("churn_tps", "churn192_tps", "churn192_spread_pct",
-              "churn192_prefix_tps", "tok_s_7b", "tok_s_8b_gqa",
+              "churn192_prefix_tps", "churn192_prefix_off_tps",
+              "tok_s_7b", "tok_s_8b_gqa",
               "attn_sol_pct", "attn_sol_b32_pct", "prefill_sol_pct"):
         if k in RESULTS:
             out[k] = round(RESULTS[k], 1)
@@ -556,30 +557,43 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
     if also_prefix_len:
         # mixed shared-prefix workload on the SAME engine (reuses every
         # compiled variant; VERDICT r3 item 9): half the requests start
-        # with a registered also_prefix_len-token system prefix whose KV
-        # rows admission reuses — only the suffix is prefilled. Prefixed
-        # prompts reach 256 + 127 + 63 -> the 512 attn bucket, prewarmed
-        # incrementally here.
+        # with an also_prefix_len-token system prefix. Measured TWICE on
+        # the identical stream — cache OFF (prefix not registered: full
+        # chunked prefill) then cache ON (admission reuses the stored KV
+        # rows) — so the reported pair isolates the prefix cache's value;
+        # raw tok/s is incomparable to the plain-churn number (prefixed
+        # prompts carry ~3x the prompt tokens per generated token).
         t0 = time.time()
         nv = eng.prewarm(loop_steps=loop_steps, attn_lens=[512])
         prefix.extend(np.random.RandomState(99).randint(
             0, cfg.vocab_size, size=also_prefix_len).tolist())
+        log(f"prefix churn: +{nv} variants prewarmed in "
+            f"{time.time()-t0:.1f}s")
+
+        def measure_pair():
+            rates = []
+            for _ in range(2):
+                toks, dt = wave(n_requests)
+                rates.append(toks / dt)
+            return rates
+
+        wave(n_requests)  # compile wave (full-prefill lane variants)
+        off = measure_pair()
         eng.register_prefix(prefix)
-        log(f"prefix churn: +{nv} variants prewarmed, {also_prefix_len}-"
-            f"token prefix registered in {time.time()-t0:.1f}s")
+        eng.counters_report()
         wave(n_requests)  # compile wave (suffix-prefill + insert variants)
-        prates = []
-        for _ in range(2):
-            toks, dt = wave(n_requests)
-            prates.append(toks / dt)
-        prefix_mean = sum(prates) / len(prates)
+        on = measure_pair()
+        prefix_mean = sum(on) / len(on)
+        off_mean = sum(off) / len(off)
         rep = eng.counters_report()
         log(f"serving churn +prefix ({n_requests} reqs, half sharing a "
             f"{also_prefix_len}-token prefix, {slots} slots): "
-            f"{prefix_mean:.0f} tok/s "
-            f"(waves {[f'{r:.0f}' for r in prates]}; "
+            f"cache ON {prefix_mean:.0f} tok/s vs OFF {off_mean:.0f} "
+            f"({prefix_mean/off_mean:.3f}x; on waves "
+            f"{[f'{r:.0f}' for r in on]}, off {[f'{r:.0f}' for r in off]}; "
             f"hits {rep.get('prefix_hits')}, reused "
-            f"{rep.get('prefix_reused_tokens')} tok/wave-pair)")
+            f"{rep.get('prefix_reused_tokens')} tok)")
+        RESULTS["churn192_prefix_off_tps"] = round(off_mean, 1)
     return mean, spread, prefix_mean
 
 
