@@ -125,29 +125,36 @@ def make_train_step(cfg: DecoderConfig, mesh: Mesh,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # the jitted step is BUILT ONCE per (eval/train) mode and reused: a
+    # fresh jax.jit wrapper per call would re-TRACE the whole
+    # remat+scan+shard_map graph every step (~2 s/step measured at L=8k
+    # even with all executables compile-cached, r4) — the classic
+    # jit-in-the-hot-loop bug, hidden until a caller actually looped
+    _jits: dict = {}
+
     def sharded_step(params, opt_state, tokens, dropout_rng=None):
         """One sharded update. Passing ``dropout_rng`` (a PRNGKey, e.g.
         jax.random.fold_in(base, step)) runs the model in training mode
         with cfg.attn_dropout active — the surgery -> fine-tune workflow;
         omitting it keeps the round-2 eval-mode signature."""
-        specs = decoder_param_specs(params)
-        p_shardings = param_shardings(params, specs, mesh)
-        o_shardings = (zero1_opt_shardings(opt_state, params, specs, mesh)
-                       if zero1 else None)
-        data_axes = (("data",) if dcn_data_axis is None
-                     else (dcn_data_axis, "data"))
-        token_spec = P(data_axes, sp_axis)  # sp_axis None = seq replicated
-        token_sharding = NamedSharding(mesh, token_spec)
-        if dropout_rng is None:
-            return jax.jit(
+        train_mode = dropout_rng is not None
+        if train_mode not in _jits:
+            specs = decoder_param_specs(params)
+            p_shardings = param_shardings(params, specs, mesh)
+            o_shardings = (zero1_opt_shardings(opt_state, params, specs,
+                                               mesh) if zero1 else None)
+            data_axes = (("data",) if dcn_data_axis is None
+                         else (dcn_data_axis, "data"))
+            # sp_axis None = seq replicated
+            token_sharding = NamedSharding(mesh, P(data_axes, sp_axis))
+            in_sh = (p_shardings, o_shardings, token_sharding)
+            _jits[train_mode] = jax.jit(
                 step,
-                in_shardings=(p_shardings, o_shardings, token_sharding),
+                in_shardings=in_sh + ((None,) if train_mode else ()),
                 out_shardings=(p_shardings, o_shardings, None),
-            )(params, opt_state, tokens)
-        return jax.jit(
-            step,
-            in_shardings=(p_shardings, o_shardings, token_sharding, None),
-            out_shardings=(p_shardings, o_shardings, None),
-        )(params, opt_state, tokens, dropout_rng)
+            )
+        if train_mode:
+            return _jits[True](params, opt_state, tokens, dropout_rng)
+        return _jits[False](params, opt_state, tokens)
 
     return init, sharded_step
