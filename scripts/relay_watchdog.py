@@ -50,18 +50,14 @@ PROBE = (
     "print('PROBE_OK', float(jnp.sum((x @ x).astype(jnp.float32))))"
 )
 
-# (name, argv, timeout_secs)
+# (name, argv, timeout_secs) — round-4 evidence set: the Mosaic smoke
+# suite (incl. the r4 staircase/dead-row/pipeline tests) and two full
+# bench captures; everything else this round has standalone artifacts
 QUEUE = [
     ("tpu_smoke", [sys.executable, "-m", "pytest",
                    "tests/test_tpu_smoke.py", "-q", "--no-header"], 2400),
-    ("bench_decode_attn", [sys.executable, "scripts/bench_decode_attn.py"],
-     1500),
     ("bench_1", [sys.executable, "bench.py"], 1800),
     ("bench_2", [sys.executable, "bench.py"], 1800),
-    ("sweep_prefill", [sys.executable, "scripts/sweep_prefill_flash.py"],
-     1800),
-    ("bench_ring", [sys.executable, "scripts/bench_ring_attn.py"], 1500),
-    ("probe_mxu", [sys.executable, "scripts/probe_mxu.py"], 1500),
 ]
 
 
