@@ -1027,6 +1027,7 @@ def flash_attention_n_fused(
     if (_stair != "0" and block_q is None and block_k is None
             and is_causal and bias is None and alibi_slopes is None
             and dropout_rate == 0.0 and q_len == kv_len
+            and os.environ.get("FASN_PREFILL_PIPELINE") != "force"
             and (not interpret or _stair == "force")):
         P = int(os.environ.get("FASN_STAIR_P", "1024"))
         if q_len % P == 0 and 2 <= q_len // P and q_len <= 4096:
@@ -1081,6 +1082,10 @@ def flash_attention_n_fused(
     if (bias is None and not interpret
             and os.environ.get("FASN_PREFILL_PIPELINE") == "force"):
         inner_pipeline = True  # experiment hook: pipeline at ANY block shape
+        # a >=2048-wide pipeline window plus the f32 accumulators overflows
+        # the 16MB scoped-vmem stack (measured: 20.29M at (1024, 2048) on
+        # v5e) — clamp the KV window; the pipeline streams tiles anyway.
+        block_k = min(block_k, 1024)
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
     # Fence the known Mosaic compile-helper crash class (first-party error

@@ -156,6 +156,10 @@ def main() -> None:
     ap.add_argument("--deadline-s", type=float, default=0.0,
                     help="stop training (checkpoint + eval) after this "
                     "many seconds; 0 = no deadline")
+    ap.add_argument("--stop-step", type=int, default=0,
+                    help="stop training at this absolute step (the lr "
+                    "schedule still spans --steps) — used to train the "
+                    "n=0 control to the same step the n=1 run reached")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (smoke tests / relay wedges)")
     args = ap.parse_args()
@@ -235,8 +239,10 @@ def main() -> None:
                       f"({time.time() - t0:.0f}s, "
                       f"{(i - step0 + 1) * tok_per_step / 1e6:.0f}M tok)",
                       file=sys.stderr, flush=True)
-            hit_deadline = (args.deadline_s
-                            and time.time() - t_start > args.deadline_s)
+            hit_deadline = bool(
+                (args.deadline_s
+                 and time.time() - t_start > args.deadline_s)
+                or (args.stop_step and i + 1 >= args.stop_step))
             if ((i + 1) % args.ckpt_every == 0 or i == args.steps - 1
                     or hit_deadline):
                 save_train_checkpoint(str(ckpt_dir), cfg_init, params,
@@ -296,13 +302,16 @@ def main() -> None:
                  for i in range(cfg.n_layers)]
     stats = init_activation_stats(tap_names)
 
+    # params MUST be an argument, not a closure: a closed-over 180M-param
+    # tree is baked into the jaxpr as ~360MB of constants, and the relay's
+    # remote-compile endpoint rejects the request body (HTTP 413).
     @jax.jit
-    def stat_step(stats, tokens):
-        _, taps = decoder_forward(p_bf, cfg, tokens, collect_taps=True)
+    def stat_step(params, stats, tokens):
+        _, taps = decoder_forward(params, cfg, tokens, collect_taps=True)
         return update_activation_stats(stats, taps)
 
     for tokens in ev:
-        stats = stat_step(stats, jnp.asarray(tokens))
+        stats = stat_step(p_bf, stats, jnp.asarray(tokens))
     act = activation_stats_to_dict(stats)
     results["activation_stats"] = act
     results["gate_report"] = gate_report(act)
