@@ -969,6 +969,11 @@ class InferenceEngine:
         # should be ~free; the syncs are where serialization hides)
         self.phase_times: Dict[str, float] = {}
         self.phase_counts: Dict[str, int] = {}
+        # per-chunk (steps, iteration wall-clock) log since last
+        # profile_report reset — lets callers detect link-stall outliers at
+        # chunk granularity (a single multi-second relay freeze inside an
+        # otherwise-healthy wave; see bench.py churn stall handling)
+        self.chunk_log: List[Tuple[int, float]] = []
         # scheduling-efficiency counters (host-side increments, ~free):
         # how much prefill compute is padding and how much fused-chunk
         # capacity produces kept tokens — the two churn-loss channels
@@ -1150,6 +1155,7 @@ class InferenceEngine:
                     boundary_s = t0 - it0
                     done.extend(self._finalize_chunk(handle))
                     t_end = _t("chunk_sync", t0)
+                    self.chunk_log.append((chunk, t_end - it0))
                     self._update_sched_ewma(boundary_s,
                                             (t_end - t0) / chunk)
                     steps_left -= chunk
@@ -1177,6 +1183,7 @@ class InferenceEngine:
         if reset:
             self.phase_times = {}
             self.phase_counts = {}
+            self.chunk_log = []
         return rep
 
     def counters_report(self, reset: bool = True) -> Dict[str, float]:

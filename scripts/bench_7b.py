@@ -65,6 +65,53 @@ def init_7b_int8(cfg, rng):
     return params
 
 
+def init_7b_int8_synth(cfg, rng):
+    """Timing-equivalent 7B int8 weights synthesized DIRECTLY in int8.
+
+    Decode throughput is value-independent (the same trick bench.py's
+    attn-SOL section uses for the KV cache), so the bench does not need
+    the real init->quantize pipeline: uniform int8 values + constant
+    per-output-channel scales of realistic magnitude (~absmax/127 of a
+    fan-in-scaled normal) exercise the identical dequant-matmul path.
+    Cuts the in-bench 7B/8B init from ~78s to seconds and never holds a
+    bf16 leaf (VERDICT r4 item 1: the driver's cold 1380s budget).
+    """
+    from flash_attention_softmax_n_tpu.quant.qtensor import QTensor
+
+    d, hd = cfg.d_model, cfg.head_dim
+    nl, h, kvh, f = cfg.n_layers, cfg.n_heads, cfg.n_kv_heads, cfg.d_ff
+    keys = jax.random.split(rng, 10)
+
+    def synth_q(key, shape, fan_in):
+        q = jax.jit(lambda k: jax.random.randint(
+            k, shape, -127, 128, dtype=jnp.int8))(key)
+        # absmax of N(0, 1/fan_in) over a long axis ~ 4.5 sigma
+        s = jnp.full(shape[:-2] + (1, shape[-1]),
+                     4.5 * fan_in ** -0.5 / 127.0, jnp.float32)
+        return QTensor(q, s, bits=8)
+
+    def dense(key, shape, fan_in):
+        return jax.jit(lambda k: (jax.random.normal(k, shape, jnp.float32)
+                                  * fan_in ** -0.5).astype(cfg.dtype))(key)
+
+    return {
+        "embed": dense(keys[0], (cfg.vocab_size, d), d),  # bf16 (gather)
+        "layers": {
+            "attn_norm": jnp.ones((nl, d), cfg.dtype),
+            "wq": synth_q(keys[1], (nl, d, h * hd), d),
+            "wk": synth_q(keys[2], (nl, d, kvh * hd), d),
+            "wv": synth_q(keys[3], (nl, d, kvh * hd), d),
+            "wo": synth_q(keys[4], (nl, h * hd, d), h * hd),
+            "mlp_norm": jnp.ones((nl, d), cfg.dtype),
+            "w_gate": synth_q(keys[5], (nl, d, f), d),
+            "w_up": synth_q(keys[6], (nl, d, f), d),
+            "w_down": synth_q(keys[7], (nl, f, d), f),
+        },
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": synth_q(keys[8], (d, cfg.vocab_size), d),
+    }
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
     from flash_attention_softmax_n_tpu.models import DecoderConfig
