@@ -1847,11 +1847,15 @@ class InferenceEngine:
         store is quantized exactly like the main cache, so a hit is
         bit-identical to having prefilled those rows in place. Returns a
         prefix id; prompts match the LONGEST registered prefix.
+
+        Sharded engines (``mesh``) register too (round 5, VERDICT r4 item
+        5): the scratch prefill runs with one identical slot per 'data'
+        shard (the meshed prefill shard_maps over 'data', so its batch
+        must divide the axis), shard 0's rows become the store, and the
+        store is placed replicated over 'data' with KV heads sharded over
+        'model' — the same head sharding as the main cache, so the hit
+        path's insert scatter partitions without cross-shard traffic.
         """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "prefix cache is single-host (the store copy would need a "
-                "data-axis scatter; register on the per-host engines)")
         cc = self._CHUNK
         rows = (len(tokens) // cc) * cc
         if rows < cc:
@@ -1861,23 +1865,34 @@ class InferenceEngine:
         if rows > self.max_len:
             raise ValueError("prefix longer than engine max_len")
         cfg = self.cfg
+        width = (self.mesh.shape.get("data", 1)
+                 if self.mesh is not None else 1)
         if self._kv_quantization is not None:
             from flash_attention_softmax_n_tpu.quant.kv_cache import (
                 init_quantized_kv_cache,
             )
             scratch = init_quantized_kv_cache(
-                cfg.n_layers, 1, cfg.n_kv_heads, rows, cfg.head_dim,
+                cfg.n_layers, width, cfg.n_kv_heads, rows, cfg.head_dim,
                 mode=self._kv_quantization)
         else:
-            shape = (cfg.n_layers, 1, cfg.n_kv_heads, rows, cfg.head_dim)
+            shape = (cfg.n_layers, width, cfg.n_kv_heads, rows,
+                     cfg.head_dim)
             scratch = {"k": jnp.zeros(shape, cfg.dtype),
                        "v": jnp.zeros(shape, cfg.dtype)}
-        scratch["lengths"] = jnp.zeros((1,), jnp.int32)
+        scratch["lengths"] = jnp.zeros((width,), jnp.int32)
         scratch.pop("length", None)
-        tl = jnp.asarray([rows], jnp.int32)
-        sl = jnp.asarray([0], jnp.int32)
+        if self.mesh is not None:
+            from flash_attention_softmax_n_tpu.parallel.sharding import (
+                kv_cache_specs,
+                shard_pytree,
+            )
+            scratch = shard_pytree(scratch, kv_cache_specs(scratch),
+                                   self.mesh)
+        tl = jnp.full((width,), rows, jnp.int32)
+        sl = jnp.arange(width, dtype=jnp.int32)
         for ci in range(rows // cc):
-            toks = jnp.asarray([tokens[ci * cc:(ci + 1) * cc]], jnp.int32)
+            toks = jnp.asarray([tokens[ci * cc:(ci + 1) * cc]] * width,
+                               jnp.int32)
             _, scratch = self._prefill_chunk(ci * cc)(
                 params=self.params, tokens=toks, true_lens=tl, slots=sl,
                 cache=scratch)
@@ -1892,6 +1907,14 @@ class InferenceEngine:
             }
         else:
             store = {"k": scratch["k"][:, 0], "v": scratch["v"][:, 0]}
+        if self.mesh is not None:
+            # place the store like the cache sans the slot dim: KV heads
+            # sharded over 'model', rows replicated over 'data' — every
+            # data shard inserts its local slots from a local copy
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "model"))
+            store = jax.tree.map(lambda x: jax.device_put(x, sh), store)
         pid = len(self._prefixes)
         self._prefixes.append({"id": pid, "tokens": tuple(tokens[:rows]),
                                "rows": rows, "store": store})

@@ -1085,7 +1085,10 @@ def flash_attention_n_fused(
         # a >=2048-wide pipeline window plus the f32 accumulators overflows
         # the 16MB scoped-vmem stack (measured: 20.29M at (1024, 2048) on
         # v5e) — clamp the KV window; the pipeline streams tiles anyway.
-        block_k = min(block_k, 1024)
+        # At block_q >= 2048 the crash fence below only admits the
+        # pipeline with block_k <= 512, so clamp harder there instead of
+        # raising on a config the clamp itself produced (ADVICE r4).
+        block_k = min(block_k, 512 if block_q >= 2048 else 1024)
     q_len_p = _round_up(q_len, block_q)
     kv_len_p = _round_up(kv_len, block_k)
     # Fence the known Mosaic compile-helper crash class (first-party error

@@ -228,7 +228,13 @@ def main() -> None:
     tok_per_step = args.batch * args.seq
     t0 = time.time()
     i = step0
-    if not args.eval_only:
+    if args.stop_step and step0 >= args.stop_step:
+        # resuming at/past the stop step: do NOT train one extra step and
+        # overwrite the checkpoint (ADVICE r4) — go straight to eval
+        print(f"step0 {step0} >= stop-step {args.stop_step} — skipping "
+              f"training, evaluating checkpoint as-is",
+              file=sys.stderr, flush=True)
+    elif not args.eval_only:
         for i in range(step0, args.steps):
             idx = rng.randint(0, hi, size=args.batch)
             toks = jnp.asarray(
@@ -250,7 +256,10 @@ def main() -> None:
                 print(f"checkpointed at step {i + 1}", file=sys.stderr,
                       flush=True)
             if hit_deadline:
-                print("deadline hit — evaluating current checkpoint",
+                why = ("stop-step reached"
+                       if args.stop_step and i + 1 >= args.stop_step
+                       else "deadline hit")
+                print(f"{why} — evaluating current checkpoint",
                       file=sys.stderr, flush=True)
                 break
 
