@@ -264,9 +264,10 @@ def decoder_forward(
 
     ``train=True`` activates ``cfg.attn_dropout`` (requires ``dropout_rng``;
     one fold per layer) — the fine-tune regularization path. On the Pallas
-    route the mask is the in-kernel hash (kernels/flash_attention.py); under
-    ``tp_mesh`` dropout attention degrades to the GSPMD XLA path (in-kernel
-    dropout is not shard_mapped); under ``sp_mesh`` dropout raises.
+    route the mask is the in-kernel hash (kernels/flash_attention.py),
+    including under ``tp_mesh`` (round 5: each shard folds its global
+    batch/head base into the seed, so the sharded mask is bit-identical
+    to the single-device one); under ``sp_mesh`` dropout raises.
 
     ``output_attentions=True`` returns (logits, ..., attn_probs) with
     attn_probs (n_layers, B, H, L, L) post-softmax (post-dropout when

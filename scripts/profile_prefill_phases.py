@@ -33,7 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scripts._timing import time_scan
 
-B, H, L, HD = 2, 32, 2048, 64
+# shape from env (round 5, VERDICT r4 item 3: the hd64 profile does not
+# transfer to hd128 — profile both): FASN_PROF_SHAPE="B,H,L,HD"
+_shape = _os.environ.get("FASN_PROF_SHAPE", "2,32,2048,64")
+B, H, L, HD = (int(x) for x in _shape.split(","))
 
 
 BQ = 512  # q-block: the (BQ, L) f32 score tile must fit scoped VMEM
@@ -119,7 +122,8 @@ def main():
         q, k, v, softmax_n_param=1.0, is_causal=True))
 
     _os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/prefill_phase_profile.json", "w") as fh:
+    suffix = "" if (B, H, L, HD) == (2, 32, 2048, 64) else f"_hd{HD}"
+    with open(f"artifacts/prefill_phase_profile{suffix}.json", "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out), flush=True)
 

@@ -277,17 +277,77 @@ class TestMeshedFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4)
 
-    def test_meshed_dropout_rejected(self):
+    def test_meshed_dropout_matches_unsharded(self):
+        # round 5 (VERDICT r4 item 7): in-kernel dropout under mesh SPMD.
+        # The hash is linear in its batch/head terms, so each shard folds
+        # its global (batch, head) base into the seed — the meshed mask
+        # must be BIT-identical to the single-device kernel's.
         require_devices(8)
         from flash_attention_softmax_n_tpu.ops.flash_attention import (
             flash_attention_n,
         )
         mesh = make_mesh({"data": 2, "model": 4})
-        q = jnp.zeros((2, 4, 32, 32))
-        with pytest.raises(NotImplementedError, match="dropout under mesh"):
-            flash_attention_n(q, q, q, dropout_p=0.5,
-                              dropout_rng=jax.random.PRNGKey(0),
-                              implementation="pallas", mesh=mesh)
+        b, h, l, e = 4, 8, 64, 32
+        ks = jax.random.split(jax.random.PRNGKey(6), 3)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks)
+        rng = jax.random.PRNGKey(42)
+
+        def f(mesh_):
+            return jax.jit(lambda q, k, v: flash_attention_n(
+                q, k, v, softmax_n_param=1.0, is_causal=True,
+                dropout_p=0.35, dropout_rng=rng,
+                implementation="pallas", mesh=mesh_))
+
+        ref = f(None)(q, k, v)
+        out = f(mesh)(q, k, v)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_meshed_dropout_grads_match_oracle(self):
+        # grad-parity through the shard_mapped dropout kernel vs the slow
+        # jnp oracle evaluating the SAME hash mask at global coordinates
+        require_devices(8)
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            dropout_keep,
+        )
+        from flash_attention_softmax_n_tpu.ops.flash_attention import (
+            flash_attention_n,
+        )
+        from flash_attention_softmax_n_tpu.ops.functional import softmax_n
+
+        mesh = make_mesh({"data": 2, "model": 4})
+        b, h, l, e = 2, 4, 32, 16
+        rate, n = 0.25, 1.0
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        q, k, v = (0.5 * jax.random.normal(kk, (b, h, l, e)) for kk in ks[:3])
+        ct = jax.random.normal(ks[3], (b, h, l, e))
+        rng = jax.random.PRNGKey(5)
+        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+
+        def oracle(q, k, v):
+            s = jnp.einsum("bhle,bhse->bhls", q, k) * (e ** -0.5)
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            s = jnp.where(causal, s, -jnp.inf)
+            p = softmax_n(s, n=n, axis=-1)
+            coords = [jnp.arange(d, dtype=jnp.int32) for d in (b, h, l, l)]
+            bb, hh, qq, kk = jnp.meshgrid(*coords, indexing="ij")
+            keep = dropout_keep(seed, bb, hh, qq, kk, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+            out = jnp.einsum("bhls,bhsv->bhlv", p, v)
+            return jnp.sum(out * ct)
+
+        def meshed(q, k, v):
+            out = flash_attention_n(
+                q, k, v, softmax_n_param=n, is_causal=True,
+                dropout_p=rate, dropout_rng=rng,
+                implementation="pallas", mesh=mesh)
+            return jnp.sum(out * ct)
+
+        want = jax.grad(oracle, argnums=(0, 1, 2))(q, k, v)
+        got = jax.jit(jax.grad(meshed, argnums=(0, 1, 2)))(q, k, v)
+        for g, w, name in zip(got, want, ["dq", "dk", "dv"]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=2e-4, err_msg=name)
 
     def test_meshed_engine_prefill_pallas_matches_xla(self):
         # the engine's admission path with the auto (pallas) implementation
