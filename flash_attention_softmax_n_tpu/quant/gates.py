@@ -6,10 +6,27 @@ softmax-N removes activation outliers (the reference's motivating claim,
 README.md:4); these gates turn the measured excess kurtosis into an
 automated go/no-go per layer per bit-width.
 
-Heuristic thresholds: heavier tails (higher kurtosis) mean absmax scaling
-wastes integer range on rare outliers. INT8 tolerates moderate tails; INT4's
-15 levels need near-Gaussian activations; FP8 (e4m3) has wide dynamic range
-and tolerates more.
+Calibration (round 5, VERDICT r4 item 2c — thresholds reconciled against
+MEASURED 181M-scale outcomes, artifacts/quant_study_n{0,1}.json +
+quant_study_v2_*):
+
+  * weights are near-Gaussian after AdamW training regardless of softmax-n
+    (measured max weight excess kurtosis 0.25 across both runs); int8
+    weight-only damage was noise (Δppl −5e-5) and int4 weight-only cost
+    +0.0033 ppl/byte — so the WEIGHT gates key on weight kurtosis with a
+    tight int4 bar and a lenient int8 bar.
+  * int8 ACTIVATION-path quantization (the int8 KV cache through the real
+    cached decode) measured Δppl ≤ +3e-5 even on the n=0 run whose worst
+    layer has activation kurtosis 25.0 — kurtosis 25 is demonstrably
+    int8-safe, so the int8 activation threshold sits at 30 (the measured
+    envelope plus margin), not the old guessed 12 that false-alarmed
+    layer 15 in BOTH runs.
+  * int4 activations were never measured safe anywhere; the conservative
+    near-Gaussian bar stays.
+
+Heuristic beyond the measured envelope: heavier tails mean absmax scaling
+wastes integer range on rare outliers; flag anything we have no evidence
+for.
 """
 
 from __future__ import annotations
@@ -18,37 +35,53 @@ from typing import Dict, Mapping
 
 __all__ = ["KURTOSIS_THRESHOLDS", "outlier_gate", "gate_report"]
 
-# max acceptable excess kurtosis per bit-width (normal distribution = 0)
-KURTOSIS_THRESHOLDS: Dict[int, float] = {
-    8: 12.0,   # int8
-    4: 3.0,    # int4
-    -8: 50.0,  # fp8 e4m3
+# max acceptable excess kurtosis (normal distribution = 0) per target per
+# bit-width; see module docstring for the measured provenance
+KURTOSIS_THRESHOLDS: Dict[str, Dict[int, float]] = {
+    "activations": {
+        8: 30.0,   # int8: measured Δppl +3e-5 at kurtosis 25 (n=0 run)
+        4: 3.0,    # int4: no measured-safe evidence; near-Gaussian only
+        -8: 50.0,  # fp8 e4m3: wide dynamic range
+    },
+    "weights": {
+        8: 12.0,   # int8-W: Δppl −5e-5 at kurtosis ≤ 0.25 (huge margin)
+        4: 1.0,    # int4-W: +0.0033 ppl/byte at kurtosis ≤ 0.25
+        -8: 50.0,
+    },
 }
 
 
 def outlier_gate(stats: Mapping[str, Mapping[str, float]],
-                 bits: int = 8) -> Dict[str, bool]:
-    """Per-tap pass/fail for quantizing at ``bits``.
+                 bits: int = 8, target: str = "activations"
+                 ) -> Dict[str, bool]:
+    """Per-tap pass/fail for quantizing ``target`` tensors at ``bits``.
 
-    ``stats``: activation statistics dict (analysis.activation_stats_to_dict
-    output, or the reference's JSON format — both carry 'kurtosis').
+    ``stats``: statistics dict (analysis.activation_stats_to_dict or
+    compute_weight_statistics output, or the reference's JSON format —
+    all carry 'kurtosis').
     """
-    if bits not in KURTOSIS_THRESHOLDS:
+    if target not in KURTOSIS_THRESHOLDS:
+        raise ValueError(f"unknown target {target!r}; expected one of "
+                         f"{sorted(KURTOSIS_THRESHOLDS)}")
+    table = KURTOSIS_THRESHOLDS[target]
+    if bits not in table:
         raise ValueError(f"no threshold defined for bits={bits}")
-    thr = KURTOSIS_THRESHOLDS[bits]
+    thr = table[bits]
     return {name: float(entry["kurtosis"]) <= thr
             for name, entry in stats.items()}
 
 
-def gate_report(stats: Mapping[str, Mapping[str, float]]) -> Dict[str, Dict]:
+def gate_report(stats: Mapping[str, Mapping[str, float]],
+                target: str = "activations") -> Dict[str, Dict]:
     """Full report: per tap, the measured kurtosis and each bit-width verdict."""
+    table = KURTOSIS_THRESHOLDS[target]
     report = {}
     for name, entry in stats.items():
         k = float(entry["kurtosis"])
         report[name] = {
             "kurtosis": k,
-            "int8_ok": k <= KURTOSIS_THRESHOLDS[8],
-            "int4_ok": k <= KURTOSIS_THRESHOLDS[4],
-            "fp8_ok": k <= KURTOSIS_THRESHOLDS[-8],
+            "int8_ok": k <= table[8],
+            "int4_ok": k <= table[4],
+            "fp8_ok": k <= table[-8],
         }
     return report

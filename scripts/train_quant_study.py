@@ -68,10 +68,12 @@ CORPUS_DIRS = [
 ]
 
 
-def load_corpus(max_mb: int) -> np.ndarray:
-    """Deterministic byte corpus: sorted .py/.md files under CORPUS_DIRS."""
-    parts, total = [], 0
-    budget = max_mb * 1024 * 1024
+def iter_corpus_files():
+    """Deterministic corpus file stream: sorted .py/.md under CORPUS_DIRS.
+
+    Factored out (round 5) so the v2 eval can replay the exact train-file
+    walk and take files BEYOND the budget cutoff as a genuinely unseen
+    same-distribution eval (scripts/eval_quant_study_v2.py)."""
     for root in CORPUS_DIRS:
         rootp = pathlib.Path(root)
         if not rootp.exists():
@@ -86,12 +88,16 @@ def load_corpus(max_mb: int) -> np.ndarray:
                     continue
                 if len(b) < 256:
                     continue
-                parts.append(b)
-                total += len(b)
-                if total >= budget:
-                    break
-            if total >= budget:
-                break
+                yield f, b
+
+
+def load_corpus(max_mb: int) -> np.ndarray:
+    """Deterministic byte corpus: the file stream up to a byte budget."""
+    parts, total = [], 0
+    budget = max_mb * 1024 * 1024
+    for _, b in iter_corpus_files():
+        parts.append(b)
+        total += len(b)
         if total >= budget:
             break
     data = b"\n\n".join(parts)[:budget]
@@ -323,7 +329,7 @@ def main() -> None:
         stats = stat_step(p_bf, stats, jnp.asarray(tokens))
     act = activation_stats_to_dict(stats)
     results["activation_stats"] = act
-    results["gate_report"] = gate_report(act)
+    results["gate_report"] = gate_report(act, target="activations")
     kurts = [act[n]["kurtosis"] for n in tap_names]
     results["kurtosis_summary"] = {
         "max": max(kurts), "mean": sum(kurts) / len(kurts)}
@@ -333,6 +339,7 @@ def main() -> None:
     wstats = compute_weight_statistics(params)
     results["weight_kurtosis_max"] = max(
         v["kurtosis"] for v in wstats.values())
+    results["weight_gate_report"] = gate_report(wstats, target="weights")
     results["weight_stats"] = {k: v for k, v in wstats.items()
                                if "layers" not in k or "/0/" in k}
 
