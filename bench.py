@@ -632,9 +632,18 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
             f"{time.time()-t0:.1f}s")
 
         def measure_pair():
-            rates = []
-            for _ in range(2):
+            # same chunk-granularity stall handling as the main waves
+            rates, tries = [], 0
+            while len(rates) < 2 and tries < 4:
+                tries += 1
+                c0 = len(eng.chunk_log)
                 toks, dt = wave(n_requests)
+                per = sorted(w / c for c, w in eng.chunk_log[c0:])
+                med = per[len(per) // 2] if per else 0.0
+                if (any(x > 4.0 * med + 0.010 for x in per)
+                        and tries < 4):
+                    log("  prefix wave RETRIED (stalled chunk)")
+                    continue
                 rates.append(toks / dt)
             return rates
 
