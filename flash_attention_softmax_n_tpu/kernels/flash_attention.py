@@ -1098,14 +1098,28 @@ def flash_attention_n_fused(
             and (not interpret or _stair == "force")):
         P = int(os.environ.get("FASN_STAIR_P", "1024"))
         if q_len % P == 0 and 2 <= q_len // P and q_len <= 4096:
+            # wide mode (round 5): give each piece its WHOLE key span as a
+            # single kv block, putting every piece on the one-pass kernel
+            # (no online-softmax machinery) instead of a (P,1024)-block kv
+            # grid. Fenced to spans <= 2048 and an 8MB f32 score tile.
+            # FASN_STAIR_WIDE=1 forces, 0 disables, auto = d > 64 (at
+            # d <= 64 the auto cap already reaches 2048 so pieces are
+            # single-block one-pass without this). Default pending the
+            # round-5 sweep measurement (r5_session_queue stair item).
+            _wide = os.environ.get("FASN_STAIR_WIDE", "0")
+            d_ = query.shape[-1]
             outs = []
             for i in range(q_len // P):
                 w = P * (i + 1)
+                blocks = {}
+                if ((_wide == "1" or (_wide == "auto" and d_ > 64))
+                        and w <= 2048 and P * w * 4 <= 8 * 2 ** 20):
+                    blocks = dict(block_q=P, block_k=w)
                 outs.append(flash_attention_n_fused(
                     query[:, :, P * i:P * (i + 1)], key[:, :, :w],
                     value[:, :, :w], softmax_n_param=softmax_n_param,
                     scale=scale, is_causal=True, interpret=interpret,
-                    return_residuals=return_residuals))
+                    return_residuals=return_residuals, **blocks))
             if return_residuals:
                 return (jnp.concatenate([o for o, _ in outs], axis=2),
                         jnp.concatenate([l for _, l in outs], axis=2))

@@ -72,6 +72,10 @@ def main():
         for p in (256, 512, 1024, 2048):
             if L // p >= 2:
                 bench(f"stair_P{p}", {"FASN_STAIR_P": str(p)})
+                # round 5: wide mode — every piece a single-kv-block
+                # ONE-PASS call (no online-softmax machinery)
+                bench(f"stair_P{p}_wide", {"FASN_STAIR_P": str(p),
+                                           "FASN_STAIR_WIDE": "1"})
 
         # fwd+bwd at the best-expected P (training step cost)
         def fb(q, k, v):
