@@ -157,6 +157,16 @@ def main():
                 row[f"ppl_{label}"] = p
                 row[f"bpb_{label}"] = bits(p)
                 row[f"delta_{label}"] = p - dense
+            # W8A8 — ACTIVATION quantization (per-row absmax int8 on the
+            # Pallas int8-MXU path), the regime the reference's outlier
+            # claim is actually about: if softmax-1's kurtosis halving
+            # buys anything, it should show here, not in weight-only
+            import dataclasses as _dc
+            cfg_a8 = _dc.replace(cfg, act_bits=8)
+            p = perplexity(qp8, cfg_a8, ev)
+            row["ppl_w8a8"] = p
+            row["bpb_w8a8"] = bits(p)
+            row["delta_w8a8"] = p - dense
             dd = cached_decode_ppl(p_bf, cfg, ev[:2], None)
             dq = cached_decode_ppl(qp8, cfg, ev[:2], "int8")
             row["ppl_decode_dense"] = dd
@@ -165,7 +175,8 @@ def main():
             res[cname] = row
             log(f"{ntag}/{cname}: dense {dense:.4f} ppl/byte "
                 f"({bits(dense):.3f} bpb), int8W Δ{row['delta_int8_w']:+.5f},"
-                f" int4W Δ{row['delta_int4_w']:+.5f}, decode int8W+KV "
+                f" int4W Δ{row['delta_int4_w']:+.5f}, "
+                f"W8A8 Δ{row['delta_w8a8']:+.5f}, decode int8W+KV "
                 f"Δ{row['delta_int8w_int8kv']:+.5f}  [{time.time()-t0:.0f}s]")
         out[ntag] = res
         for leaf in jax.tree.leaves((params, p_bf, qp8, qp4)):
