@@ -1096,24 +1096,32 @@ def flash_attention_n_fused(
             and dropout_rate == 0.0 and q_len == kv_len
             and os.environ.get("FASN_PREFILL_PIPELINE") != "force"
             and (not interpret or _stair == "force")):
-        P = int(os.environ.get("FASN_STAIR_P", "1024"))
+        # wide mode (round 5): give each piece its WHOLE key span as a
+        # single kv block, putting every piece on the one-pass kernel
+        # (no online-softmax machinery) instead of a (P,1024)-block kv
+        # grid. Fenced to spans <= 2048 and an 8MB f32 score tile.
+        # Measured on v5e (artifacts/stair_sweep.json, round 5): at
+        # B2/H16/L2048/hd128 wide P512 runs 0.760 ms vs 1.061 best
+        # non-wide (1.40x, 16.4% -> 22.9% of the causal roofline); at
+        # hd64 it is neutral (the auto cap already reaches 2048 there,
+        # so pieces were single-block already). FASN_STAIR_WIDE=1
+        # forces, 0 disables, auto (default) = d > 64.
+        _wide = os.environ.get("FASN_STAIR_WIDE", "auto")
+        d_ = query.shape[-1]
+        wide_on = _wide == "1" or (_wide == "auto" and d_ > 64)
+        # piece default: 512 in wide mode at L <= 2048 (best measured at
+        # hd128: 0.760 vs 0.794 at P1024), 1024 otherwise (hd64 L4096:
+        # P1024 5.18 ms vs P512 5.84; L4096 pieces past span 2048 cannot
+        # be wide anyway)
+        P = int(os.environ.get(
+            "FASN_STAIR_P",
+            "512" if wide_on and q_len <= 2048 else "1024"))
         if q_len % P == 0 and 2 <= q_len // P and q_len <= 4096:
-            # wide mode (round 5): give each piece its WHOLE key span as a
-            # single kv block, putting every piece on the one-pass kernel
-            # (no online-softmax machinery) instead of a (P,1024)-block kv
-            # grid. Fenced to spans <= 2048 and an 8MB f32 score tile.
-            # FASN_STAIR_WIDE=1 forces, 0 disables, auto = d > 64 (at
-            # d <= 64 the auto cap already reaches 2048 so pieces are
-            # single-block one-pass without this). Default pending the
-            # round-5 sweep measurement (r5_session_queue stair item).
-            _wide = os.environ.get("FASN_STAIR_WIDE", "0")
-            d_ = query.shape[-1]
             outs = []
             for i in range(q_len // P):
                 w = P * (i + 1)
                 blocks = {}
-                if ((_wide == "1" or (_wide == "auto" and d_ > 64))
-                        and w <= 2048 and P * w * 4 <= 8 * 2 ** 20):
+                if wide_on and w <= 2048 and P * w * 4 <= 8 * 2 ** 20:
                     blocks = dict(block_q=P, block_k=w)
                 outs.append(flash_attention_n_fused(
                     query[:, :, P * i:P * (i + 1)], key[:, :, :w],
