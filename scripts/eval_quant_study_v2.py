@@ -129,8 +129,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     corpora = build_corpora()
+    path = REPO / "artifacts" / "quant_study_v2.json"
+    # resumable across relay flaps: reload prior partial results and skip
+    # any (checkpoint, corpus) cell that already has numbers
     out = {"eval_mb": EVAL_MB, "seq": SEQ, "batch": BATCH,
            "backend": jax.default_backend()}
+    if path.exists():
+        try:
+            out.update(json.loads(path.read_text()))
+            log(f"resuming over existing {path}")
+        except ValueError:
+            pass
 
     for ntag in ("n0", "n1"):
         ckpt = REPO / "results" / "quant_study" / ntag
@@ -144,8 +153,12 @@ def main():
         p_bf = cast_bf16(params)
         qp8 = quantize_decoder_weights(p_bf, bits=8)
         qp4 = quantize_decoder_weights(p_bf, bits=4)
-        res = {"train_steps": int(step)}
+        res = out.get(ntag, {})
+        res["train_steps"] = int(step)
         for cname, arr in corpora.items():
+            if res.get(cname, {}).get("delta_w8a8") is not None:
+                log(f"{ntag}/{cname}: already evaluated, skipping")
+                continue
             t0 = time.time()
             ev = batches(arr, 8)
             row = {}
@@ -173,6 +186,8 @@ def main():
             row["ppl_decode_int8w_int8kv"] = dq
             row["delta_int8w_int8kv"] = dq - dd
             res[cname] = row
+            out[ntag] = res
+            path.write_text(json.dumps(out, indent=2))  # flap checkpoint
             log(f"{ntag}/{cname}: dense {dense:.4f} ppl/byte "
                 f"({bits(dense):.3f} bpb), int8W Δ{row['delta_int8_w']:+.5f},"
                 f" int4W Δ{row['delta_int4_w']:+.5f}, "
@@ -182,7 +197,6 @@ def main():
         for leaf in jax.tree.leaves((params, p_bf, qp8, qp4)):
             leaf.delete()
 
-    path = REPO / "artifacts" / "quant_study_v2.json"
     path.write_text(json.dumps(out, indent=2))
     log(f"wrote {path}")
     print(json.dumps({k: v for k, v in out.items() if k in ("n0", "n1")},
