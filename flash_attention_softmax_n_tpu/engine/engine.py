@@ -865,37 +865,64 @@ def _flush_tail(cfg: DecoderConfig, k_cache, v_cache, k_tail, v_tail, base):
     quantized = isinstance(k_cache, QTensor)
 
     def write_span(c, t, b0):
-        # c (NL, KVH, S, D), t (NL, KVH, W, D): write t at row b0.
+        # c (KVH, S, D), t (KVH, W, D): write t at row b0 of one slot.
         # DUS clamps start indices; guard against b0 + W > S shifting the
         # window onto earlier valid rows by merging the clamped span.
-        w = t.shape[2]
-        s = c.shape[2]
+        w = t.shape[1]
+        s = c.shape[1]
         start = jnp.minimum(b0, s - w)
         shift = b0 - start  # 0 when the contract holds
         cur = jax.lax.dynamic_slice(
-            c, (0, 0, start, 0), (c.shape[0], c.shape[1], w, c.shape[3]))
-        tp = jnp.pad(t, ((0, 0), (0, 0), (w, 0), (0, 0)))
-        t_shift = jax.lax.dynamic_slice(tp, (0, 0, w - shift, 0), t.shape)
-        rows = jnp.arange(w)[None, None, :, None]
+            c, (0, start, 0), (c.shape[0], w, c.shape[2]))
+        tp = jnp.pad(t, ((0, 0), (w, 0), (0, 0)))
+        t_shift = jax.lax.dynamic_slice(tp, (0, w - shift, 0), t.shape)
+        rows = jnp.arange(w)[None, :, None]
         merged = jnp.where(rows >= shift, t_shift.astype(c.dtype), cur)
-        return jax.lax.dynamic_update_slice(c, merged, (0, 0, start, 0))
+        return jax.lax.dynamic_update_slice(c, merged, (0, start, 0))
 
-    vwrite = jax.vmap(write_span, in_axes=(1, 1, 0), out_axes=1)
+    vslots = jax.vmap(write_span, in_axes=(0, 0, 0))  # over slots (B, ...)
 
-    if quantized:
-        from flash_attention_softmax_n_tpu.quant.kv_cache import quantize_kv
+    bsz, w = k_tail.shape[1], k_tail.shape[3]
+    # The flush's full-tensor temporaries (f32 quantize intermediates +
+    # the padded/merged spans, each ~(NL, B, KVH, W, D)) kill the Mosaic
+    # compile helper past ~1.1 GB: b768/w64 compiles, b896/w64 dies with
+    # the opaque HTTP-500 (artifacts/b1024_bisect.json, round 5). Above
+    # the measured-safe envelope the flush runs LAYER-BY-LAYER via
+    # lax.map — intermediates shrink by NL and the large-batch loops
+    # (b >= 896) compile; at and below the envelope the single fused
+    # flush is kept unchanged.
+    split = bsz * w > 768 * 64
 
-        bits = 8 if k_cache.bits == 8 else -8
-        kq, kqs = quantize_kv(k_tail, bits)
-        vq, vqs = quantize_kv(v_tail, bits)
-        k_out = QTensor(vwrite(k_cache.values, kq, base),
-                        vwrite(k_cache.scales, kqs, base),
-                        bits=k_cache.bits)
-        v_out = QTensor(vwrite(v_cache.values, vq, base),
-                        vwrite(v_cache.scales, vqs, base),
-                        bits=v_cache.bits)
-        return k_out, v_out
-    return vwrite(k_cache, k_tail, base), vwrite(v_cache, v_tail, base)
+    def flush_pair(cache_arr, tail):
+        """cache_arr (NL,B,KVH,S,D[=1 for scales]) <- tail (NL,B,KVH,W,D'),
+        quantizing the tail per layer when the cache is quantized."""
+        if quantized:
+            from flash_attention_softmax_n_tpu.quant.kv_cache import (
+                quantize_kv,
+            )
+            bits = 8 if cache_arr.bits == 8 else -8
+
+            def layer(args):
+                cv, cs, t = args
+                tq, ts = quantize_kv(t, bits)
+                return vslots(cv, tq, base), vslots(cs, ts, base)
+
+            ops = (cache_arr.values, cache_arr.scales, tail)
+            if split:
+                nv, ns = jax.lax.map(layer, ops)
+            else:
+                nv, ns = jax.vmap(layer)(ops)
+            return QTensor(nv, ns, bits=cache_arr.bits)
+
+        def layer(args):
+            c, t = args
+            return vslots(c, t, base)
+
+        ops = (cache_arr, tail)
+        return (jax.lax.map(layer, ops) if split
+                else jax.vmap(layer)(ops))
+
+    return flush_pair(k_cache, k_tail), flush_pair(v_cache, v_tail)
 
 
 # ----------------------------------------------------------------------------

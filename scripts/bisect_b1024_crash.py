@@ -91,6 +91,16 @@ def main():
     trial("b1024_steps8", 1024, steps=8)
     trial("b1024_attn512", 1024, attn_len=512)
     trial("b1152_greedy", 1152)
+    # round-5 refinement: the first pass showed b896@64 FAILS while
+    # b1024@8 COMPILES — the wall is a (batch x steps) interaction, not
+    # batch alone. Pin the product envelope:
+    trial("b896_steps32", 896, steps=32)
+    trial("b896_steps48", 896, steps=48)
+    trial("b1024_steps16", 1024, steps=16)
+    trial("b1024_steps32", 1024, steps=32)
+    trial("b1024_steps48", 1024, steps=48)
+    trial("b1280_steps32", 1280, steps=32)
+    trial("b768_steps96", 768, steps=96)
 
     _os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/b1024_bisect.json", "w") as fh:
