@@ -849,6 +849,12 @@ def _flush_prefill_ring(k_cache, v_cache, ring_k, ring_v, p_slots):
     return write(k_cache, ring_k), write(v_cache, ring_v)
 
 
+# fused-flush safe envelope in (slots x window-rows): the largest product
+# the one-shot flush is MEASURED to compile at on v5e (b768/w64; b896/w64
+# dies in the compile helper — artifacts/b1024_bisect.json)
+_FLUSH_SPLIT_ENVELOPE = 768 * 64
+
+
 def _flush_tail(cfg: DecoderConfig, k_cache, v_cache, k_tail, v_tail, base):
     """Scatter the loop's tail window into the main cache.
 
@@ -891,7 +897,7 @@ def _flush_tail(cfg: DecoderConfig, k_cache, v_cache, k_tail, v_tail, base):
     # lax.map — intermediates shrink by NL and the large-batch loops
     # (b >= 896) compile; at and below the envelope the single fused
     # flush is kept unchanged.
-    split = bsz * w > 768 * 64
+    split = bsz * w > _FLUSH_SPLIT_ENVELOPE
 
     def flush_pair(cache_arr, tail):
         """cache_arr (NL,B,KVH,S,D[=1 for scales]) <- tail (NL,B,KVH,W,D'),

@@ -721,3 +721,33 @@ class TestAdmitGroupWidth:
         assert len(done) == 20
         for req in done:
             assert req.output == expected[ids[req.request_id]]
+
+
+class TestFlushSplit:
+    def test_split_flush_bit_identical_to_fused(self, params, monkeypatch):
+        # round 5: above _FLUSH_SPLIT_ENVELOPE the tail flush runs
+        # layer-by-layer (lax.map) instead of one fused op (the fused
+        # flush's temporaries crash the Mosaic compile helper at
+        # b896/w64 on v5e). The split path must be BIT-identical —
+        # force it by shrinking the envelope and compare full decode
+        # outputs and the final cache.
+        import flash_attention_softmax_n_tpu.engine.engine as E
+
+        prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+        def run():
+            eng = InferenceEngine(TINY, params, max_batch=2, max_len=64,
+                                  kv_quantization="int8")
+            ids = {eng.submit(p, max_new_tokens=9): tuple(p)
+                   for p in prompts}
+            done = eng.run_until_done(loop_steps=8)
+            cache = jax.tree.map(np.asarray, eng.cache)
+            return {ids[r.request_id]: r.output for r in done}, cache
+
+        fused_out, fused_cache = run()
+        monkeypatch.setattr(E, "_FLUSH_SPLIT_ENVELOPE", 0)
+        split_out, split_cache = run()
+        assert split_out == fused_out
+        for a, b in zip(jax.tree.leaves(fused_cache),
+                        jax.tree.leaves(split_cache)):
+            np.testing.assert_array_equal(a, b)
