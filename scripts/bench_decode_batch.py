@@ -32,7 +32,7 @@ def main():
     del params
 
     out = {"hw": "v5e-1", "quant": "int8 W + int8 KV, 64-step fused loop"}
-    for batch in (512, 768, 1024):
+    for batch in (768, 1024, 1152):
         try:
             tps = benchmod.bench_decode(cfg, qparams, kv_quantization="int8",
                                         batch=batch)
