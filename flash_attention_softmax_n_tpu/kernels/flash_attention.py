@@ -409,8 +409,15 @@ def _fwd(cfg: FlashConfig, q, k, v, bias, alibi_slopes, seed):
 
     # single KV block: one-pass softmax kernel, no stats scratch, grid
     # drops the kv dimension (the hot prefill configuration — the auto
-    # policy emits nk == 1 whenever the padded lens fit the cap)
-    single = nk == 1 and os.environ.get("FASN_SINGLE_PASS", "1") != "0"
+    # policy emits nk == 1 whenever the padded lens fit the cap).
+    # Fenced to an 8MB f32 score tile: the one-pass form holds s AND
+    # exp(s-m) live together, and at (2048, 2048) (16MB scores, the hd64
+    # 2048-cap config) Mosaic's compile helper dies where the grid
+    # kernel's scratch-reusing form compiles — measured r5, the wide/
+    # staircase one-pass wins all sit at <= 8MB.
+    single = (nk == 1
+              and cfg.block_q * cfg.block_k * 4 <= 8 * 2 ** 20
+              and os.environ.get("FASN_SINGLE_PASS", "1") != "0")
     if single:
         kernel = functools.partial(_fwd_single_kernel, cfg)
     else:
@@ -1145,7 +1152,12 @@ def flash_attention_n_fused(
     inner_pipeline = False
     if block_q is None and block_k is None:
         qp_, kp_ = _round_up(q_len, 128), _round_up(kv_len, 128)
-        cap = 2048 if (d <= 64 and bias is None
+        # 2048 cap is CAUSAL-only since round 5: the (2048, 2048)
+        # NON-causal single block started dying in the compile helper
+        # (reproduced 4x on 2026-08-20, including with the round-4
+        # kernel verbatim, while the causal block compiled in the same
+        # window) — non-causal auto now takes the (1024, 1024) grid
+        cap = 2048 if (d <= 64 and bias is None and is_causal
                        and dropout_rate == 0.0) else 1024
         if qp_ <= cap and kp_ <= cap:
             block_q, block_k = qp_, kp_
@@ -1191,19 +1203,25 @@ def flash_attention_n_fused(
     if not interpret and max(block_q, block_k) >= 2048:
         nq_t, nk_t = q_len_p // block_q, kv_len_p // block_k
         # single-block asymmetric (e.g. the chunked-prefill (256, 2048)
-        # tile) compiles and runs; only MULTI-block grids with a 2048
-        # side (and the pipeline at 2048x>=1024) crash
+        # tile) compiles and runs; MULTI-block grids with a 2048 side
+        # (and the pipeline at 2048x>=1024) crash, and since round 5 so
+        # does the NON-causal (2048, 2048) single block (4x reproduced
+        # 2026-08-20 incl. the r4 kernel verbatim; the causal one
+        # compiles in the same window)
         bad = ((not inner_pipeline and (nq_t > 1 or nk_t > 1))
-               or (inner_pipeline and block_q >= 2048 and block_k >= 1024))
+               or (inner_pipeline and block_q >= 2048 and block_k >= 1024)
+               or (not is_causal and nq_t == 1 and nk_t == 1
+                   and block_q >= 2048 and block_k >= 2048))
         if bad:
             raise ValueError(
                 f"block config ({block_q}, {block_k}) over padded lens "
                 f"({q_len_p}, {kv_len_p}) hits a known Mosaic "
                 f"compile-helper crash on v5e (multi-block grids with a "
-                f"2048 side; pipeline 2048x>=1024 — see "
+                f"2048 side; pipeline 2048x>=1024; non-causal 2048x2048 "
+                f"single block — see "
                 f"artifacts/prefill_causal_sweep.json). Use blocks "
-                f"<= 1024, a single block covering the padded lens, or "
-                f"the inner pipeline with block_k <= 512.")
+                f"<= 1024, a causal single block covering the padded "
+                f"lens, or the inner pipeline with block_k <= 512.")
     # head_dim: Pallas allows a last block dim equal to the (sub-128) array
     # dim, so common small head dims run UNPADDED — padding 64 -> 128 would
     # double every q/k/v DMA byte and materialize padded copies in HBM

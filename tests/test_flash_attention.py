@@ -554,6 +554,30 @@ class TestMosaicCrashFence:
                                     block_q=2048, block_k=1024,
                                     interpret=False)
 
+    def test_noncausal_2048_single_block_rejected(self):
+        # round-5 fence addition: the NON-causal (2048, 2048) single
+        # block started crashing the compile helper (4x reproduced
+        # 2026-08-20, incl. the r4 kernel verbatim) while the causal one
+        # compiles — the auto policy now only emits the 2048 cap for
+        # causal, and explicit non-causal 2048x2048 blocks are rejected
+        # first-party
+        from flash_attention_softmax_n_tpu.kernels.flash_attention import (
+            flash_attention_n_fused,
+        )
+        q, k, v = _qkv4(jax.random.PRNGKey(2), 1, 1, 2048, 32)
+        with pytest.raises(ValueError, match="non-causal 2048x2048"):
+            flash_attention_n_fused(q, k, v, softmax_n_param=1.0,
+                                    is_causal=False,
+                                    block_q=2048, block_k=2048,
+                                    interpret=False)
+        # auto policy at the same shape stays fenced-clean: it picks the
+        # (1024, 1024) grid and must match the oracle (interpret mode)
+        out = flash_attention_n_fused(q, k, v, softmax_n_param=1.0,
+                                      is_causal=False)
+        expected = slow_attention_n(q, k, v, softmax_n_param=1.0,
+                                    is_causal=False)
+        np.testing.assert_allclose(out, expected, atol=ATOL[jnp.float32])
+
     def test_single_block_asymmetric_allowed(self):
         # the chunked-prefill tile (q chunk vs full kv) is a single
         # asymmetric block with a 2048 side — measured working; the fence
