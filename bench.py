@@ -64,7 +64,8 @@ def emit_and_exit(error=None, code=0):
               "churn192_tps", "churn192_spread_pct",
               "churn192_prefix_tps", "churn192_prefix_off_tps",
               "tok_s_7b", "tok_s_8b_gqa",
-              "attn_sol_pct", "attn_sol_b32_pct", "prefill_sol_pct"):
+              "attn_sol_pct", "attn_sol_b32_pct", "prefill_sol_pct",
+              "prefill_sol_hd128_pct"):
         if k in RESULTS:
             out[k] = round(RESULTS[k], 1)
     if error is not None:
@@ -812,13 +813,17 @@ def main():
                        calibrate=True)
         if psol:
             RESULTS["prefill_sol_pct"] = psol
+    # hd128 before the b32 extra since round 5: the wide staircase moved
+    # it 16 -> ~22% of the causal roofline (VERDICT r4 item 3 evidence)
+    if gate("prefill SOL hd128", NEED_EXTRA):
+        p128 = _fenced("prefill SOL hd128", bench_prefill_sol, cfg,
+                       heads=16, head_dim=128)
+        if p128:
+            RESULTS["prefill_sol_hd128_pct"] = p128
     if gate("attn SOL b32", NEED_EXTRA):
         sol32 = _fenced("attn SOL b32", bench_attn_sol, cfg, quantized=True)
         if sol32:
             RESULTS["attn_sol_b32_pct"] = sol32
-    if gate("prefill SOL hd128", NEED_EXTRA):
-        _fenced("prefill SOL hd128", bench_prefill_sol, cfg, heads=16,
-                head_dim=128)
 
     emit_and_exit()
 
