@@ -339,7 +339,12 @@ def main() -> None:
     wstats = compute_weight_statistics(params)
     results["weight_kurtosis_max"] = max(
         v["kurtosis"] for v in wstats.values())
-    results["weight_gate_report"] = gate_report(wstats, target="weights")
+    # gate only the matmul weights: norm gains / embeddings stay
+    # unquantized (quantize_decoder_weights leaves them dense), so their
+    # kurtosis is not a quantization decision input
+    results["weight_gate_report"] = gate_report(
+        {k: v for k, v in wstats.items()
+         if "norm" not in k and "embed" not in k}, target="weights")
     results["weight_stats"] = {k: v for k, v in wstats.items()
                                if "layers" not in k or "/0/" in k}
 
