@@ -49,8 +49,22 @@ def softmax_n(
     if n is None:
         n = 0.0
     shift = jax.lax.stop_gradient(jnp.max(x, axis=axis, keepdims=True))
+    if n:
+        # clamp the shift at 0 (the phantom key scores 0 — the same
+        # m0 = 0 the fused kernel uses): exp(-shift) stays <= 1, so the
+        # n-term can never overflow when every real score is very
+        # negative (rowmax < -88.7 would make f32 exp(-shift) inf).
+        shift = jnp.maximum(shift, 0.0)
     numerator = jnp.exp(x - shift)
-    denominator = n * jnp.exp(-shift) + jnp.sum(numerator, axis=axis, keepdims=True)
+    denominator = jnp.sum(numerator, axis=axis, keepdims=True)
+    if n:
+        # the n == 0 branch must NOT build this term: 0 * exp(-shift)
+        # is 0 * inf = NaN once rowmax < -88.7 (f32 exp overflow) —
+        # observed for real at 181M scale, where the n=0 run's layer-1
+        # self-scores reach -92 by step 6000 and the single-valid-key
+        # decode row went NaN (round 5; softmax-0 is shift-invariant, so
+        # dropping the term is exact).
+        denominator = denominator + n * jnp.exp(-shift)
     out = numerator / denominator
     return out if dtype is None else out.astype(dtype)
 

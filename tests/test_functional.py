@@ -56,6 +56,23 @@ class TestSoftmaxN:
             assert bool(jnp.all(jnp.isfinite(out)))
             np.testing.assert_allclose(out, [0.0, 0.0, 1.0], atol=1e-6)
 
+    def test_deeply_negative_rows_stay_finite(self):
+        # round-5 regression (found at 181M scale, n=0 step-6000 decode):
+        # a row whose max is < -88.7 (f32 exp overflow of -rowmax) made
+        # the reference form's `n * exp(-shift)` term 0 * inf = NaN at
+        # n = 0, and inf at n > 0. The n=0 branch must skip the term
+        # (softmax-0 is shift-invariant) and n>0 clamps the shift at 0
+        # (the phantom key's score — same m0 = 0 as the fused kernel).
+        x = jnp.asarray([[-91.9, -1e30, -1e30, -95.0]], jnp.float32)
+        p0 = softmax_n(x, 0.0)
+        assert bool(jnp.all(jnp.isfinite(p0)))
+        np.testing.assert_allclose(
+            p0[0, 0], 1.0 / (1.0 + np.exp(-95.0 + 91.9)), rtol=1e-5)
+        p1 = softmax_n(x, 1.0)
+        assert bool(jnp.all(jnp.isfinite(p1)))
+        # with n = 1 the phantom key absorbs ~all mass: probs ~ exp(x)
+        assert float(jnp.max(p1)) < 1e-30
+
     def test_denominator_includes_n(self):
         x = jnp.zeros((1, 4))
         # all-equal logits: each prob = 1 / (n * exp(0) + 4)
