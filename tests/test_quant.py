@@ -384,21 +384,24 @@ class TestGates:
 
     def test_gates_calibrated_against_measured_outcomes(self):
         # round 5 (VERDICT r4 item 2c): the 181M study measured int8-KV
-        # decode Δppl +3e-5 on the n=0 run whose worst layer has
-        # activation kurtosis 25.0 — that layer must PASS the int8
-        # activation gate (the old threshold of 12 false-alarmed it in
-        # both runs), while staying flagged for unmeasured int4.
-        layer15_n0 = {"layers.15.attention.output": {"kurtosis": 25.0}}
-        rep = gate_report(layer15_n0, target="activations")
-        assert rep["layers.15.attention.output"]["int8_ok"]
-        assert not rep["layers.15.attention.output"]["int4_ok"]
-        # measured weight kurtosis max 0.25 across both runs: int8-W and
-        # int4-W both pass the weight gates (measured Δppl −5e-5 / +0.0033)
+        # decode Δppl ≤ +6e-5 on n=0 checkpoints whose worst layer
+        # reaches activation kurtosis 25 (step 1901) and 65 (step 6000)
+        # — those layers must PASS the int8 activation gate (the old
+        # threshold of 12 false-alarmed them at every scale), while
+        # staying flagged for unmeasured int4.
+        for k in (25.0, 65.0):
+            rep = gate_report({"layers.15.attention.output": {"kurtosis": k}},
+                              target="activations")
+            assert rep["layers.15.attention.output"]["int8_ok"], k
+            assert not rep["layers.15.attention.output"]["int4_ok"], k
+        # measured weight kurtosis max 0.25 across both step-1901 runs:
+        # int8-W and int4-W both pass the weight gates (Δppl −5e-5 /
+        # +0.0033)
         w = {"layers.w_gate": {"kurtosis": 0.25}}
         assert outlier_gate(w, bits=8, target="weights")["layers.w_gate"]
         assert outlier_gate(w, bits=4, target="weights")["layers.w_gate"]
         # beyond the measured envelope still flags
-        assert not outlier_gate({"t": {"kurtosis": 35.0}}, bits=8)["t"]
+        assert not outlier_gate({"t": {"kurtosis": 80.0}}, bits=8)["t"]
 
     def test_gate_unknown_target_rejected(self):
         with pytest.raises(ValueError, match="unknown target"):
