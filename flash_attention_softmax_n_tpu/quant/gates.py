@@ -16,12 +16,14 @@ quant_study_v2_*):
     +0.0033 ppl/byte — so the WEIGHT gates key on weight kurtosis with a
     tight int4 bar and a lenient int8 bar.
   * int8 ACTIVATION-path quantization (the int8 KV cache through the real
-    cached decode) measured Δppl ≤ +6e-5 even on the n=0 run whose worst
-    layer reaches activation kurtosis 65.0 (step-6000 checkpoint; the
-    step-1901 point at kurtosis 25 measured +3e-5) — so the int8
-    activation threshold sits at 70 (the measured-safe envelope plus
-    margin), not the old guessed 12 that false-alarmed layer 15 at
-    every scale while the measured damage stayed at noise.
+    cached decode) measured Δppl ≤ +6e-5 in-domain at EVERY checkpoint
+    measured — worst-layer activation kurtosis 25 and 65 and 149 (the
+    n=0 full-schedule run) — so the int8 activation threshold sits at
+    150 (the measured-safe envelope), not the old guessed 12 that
+    false-alarmed layer 15 at every scale while the measured damage
+    stayed at noise. Per-row absmax int8 KV scaling is simply
+    insensitive to kurtosis at these levels; the gate's remaining job
+    is to flag regimes beyond anything measured.
   * int4 activations were never measured safe anywhere; the conservative
     near-Gaussian bar stays.
 
@@ -40,9 +42,9 @@ __all__ = ["KURTOSIS_THRESHOLDS", "outlier_gate", "gate_report"]
 # bit-width; see module docstring for the measured provenance
 KURTOSIS_THRESHOLDS: Dict[str, Dict[int, float]] = {
     "activations": {
-        8: 70.0,   # int8: measured Δppl +6e-5 at kurtosis 65 (n=0 @6k)
+        8: 150.0,  # int8: Δppl ≤ +6e-5 at kurtosis up to 149 (n=0 @12k)
         4: 3.0,    # int4: no measured-safe evidence; near-Gaussian only
-        -8: 80.0,  # fp8 e4m3: wide dynamic range (>= the int8 envelope)
+        -8: 150.0,  # fp8 e4m3: wide dynamic range (>= the int8 envelope)
     },
     "weights": {
         8: 12.0,   # int8-W: Δppl −5e-5 at kurtosis ≤ 0.25 (huge margin)

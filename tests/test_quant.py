@@ -385,11 +385,11 @@ class TestGates:
     def test_gates_calibrated_against_measured_outcomes(self):
         # round 5 (VERDICT r4 item 2c): the 181M study measured int8-KV
         # decode Δppl ≤ +6e-5 on n=0 checkpoints whose worst layer
-        # reaches activation kurtosis 25 (step 1901) and 65 (step 6000)
-        # — those layers must PASS the int8 activation gate (the old
-        # threshold of 12 false-alarmed them at every scale), while
-        # staying flagged for unmeasured int4.
-        for k in (25.0, 65.0):
+        # reaches activation kurtosis 25 (step 1901), 65 (step 6000),
+        # and 149 (step 12000) — those layers must PASS the int8
+        # activation gate (the old threshold of 12 false-alarmed them at
+        # every scale), while staying flagged for unmeasured int4.
+        for k in (25.0, 65.0, 149.0):
             rep = gate_report({"layers.15.attention.output": {"kurtosis": k}},
                               target="activations")
             assert rep["layers.15.attention.output"]["int8_ok"], k
@@ -401,7 +401,7 @@ class TestGates:
         assert outlier_gate(w, bits=8, target="weights")["layers.w_gate"]
         assert outlier_gate(w, bits=4, target="weights")["layers.w_gate"]
         # beyond the measured envelope still flags
-        assert not outlier_gate({"t": {"kurtosis": 80.0}}, bits=8)["t"]
+        assert not outlier_gate({"t": {"kurtosis": 200.0}}, bits=8)["t"]
 
     def test_gate_unknown_target_rejected(self):
         with pytest.raises(ValueError, match="unknown target"):
