@@ -371,7 +371,7 @@ class TestGates:
         stats = {
             "clean": {"kurtosis": 0.5},
             "moderate": {"kurtosis": 8.0},
-            "heavy": {"kurtosis": 100.0},
+            "heavy": {"kurtosis": 500.0},  # beyond the measured envelope
         }
         g8 = outlier_gate(stats, bits=8)
         assert g8 == {"clean": True, "moderate": True, "heavy": False}
