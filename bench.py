@@ -600,7 +600,12 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
         log(f"  spread>10%: extra wave {toks/dt:.0f}, median-3 now "
             f"{mean:.0f} (spread {spread:.1f}%)")
     dropped = len(rates) - len(kept) if len(rates) <= 3 else 0
-    vtoks, vdt = wave(n_requests, seed=1)  # unseen request stream
+    # unseen request stream — one compile pass first (round 5: the
+    # stream's group-width x bucket prefill variants may be cold; the
+    # check is about scheduler generality on unseen TRAFFIC, not about
+    # one-time jit variants)
+    wave(n_requests, seed=1)
+    vtoks, vdt = wave(n_requests, seed=1)
     log(f"serving churn ({n_requests} reqs, mixed budgets, {slots} slots): "
         f"{mean:.0f} tok/s end-to-end warm (mean of "
         f"{[f'{r:.0f}' for r in rates]}"

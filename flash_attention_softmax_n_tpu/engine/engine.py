@@ -982,8 +982,13 @@ class InferenceEngine:
         # Wider groups amortize the weight stream over more prompt rows
         # (M = group x bucket on the MXU — the int8 matmul probe puts
         # M=2048 far above M=1024) at the cost of more padding when
-        # traffic trickles; {2, 4, ..., _ADMIT_G} widths each compile once
-        self._ADMIT_G = int(os.environ.get("FASN_ADMIT_G", "8"))
+        # traffic trickles; {2, 4, ..., _ADMIT_G} widths each compile
+        # once. Default 16 since round 5: halving the admission dispatch
+        # count measured churn192 4850 -> 8191 tok/s on a
+        # degraded-latency link (admit_sync 197 -> 66 ms/round) and the
+        # wider prefill M only helps the MXU; flood traffic fills groups
+        # so pad waste is unchanged.
+        self._ADMIT_G = int(os.environ.get("FASN_ADMIT_G", "16"))
         self._id_gen = itertools.count()
         self.queue: deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * max_batch
