@@ -498,7 +498,14 @@ def bench_7b_point(cfg_kw, batch):
 
 
 def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
-                        loop_steps=64, also_prefix_len=0):
+                        loop_steps=64, also_prefix_len=0,
+                        stash_keys=None):
+    # stash_keys=(tps_key, spread_key, prefix_key): write each milestone
+    # into RESULTS the moment it is measured — a relay freeze in the
+    # prefix tail must not cost the already-measured churn number at the
+    # watchdog emit (observed: an r5 run measured churn192 at t+400s,
+    # froze in the prefix prewarm, and the 1380s emit had no churn at
+    # all)
     # loop_steps is now a CEILING: the engine's budget-adaptive chunker
     # picks the power-of-two chunk (8..loop_steps) maximizing useful
     # tokens per step, so a higher ceiling only adds headroom
@@ -619,6 +626,9 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
         log(f"  churn phase {phase:15s}: {row['total_s']:7.3f}s total, "
             f"{row['count']:4d}x, {row['mean_ms']:7.2f} ms/ea")
     log(f"  churn counters: {eng.counters_report()}")
+    if stash_keys:
+        RESULTS[stash_keys[0]] = round(mean, 1)
+        RESULTS[stash_keys[1]] = round(spread, 1)
 
     prefix_mean = None
     if also_prefix_len:
@@ -670,6 +680,8 @@ def bench_serving_churn(cfg, params, *, slots=64, n_requests=192,
             f"hits {rep.get('prefix_hits')}, reused "
             f"{rep.get('prefix_reused_tokens')} tok)")
         RESULTS["churn192_prefix_off_tps"] = round(off_mean, 1)
+        if stash_keys and len(stash_keys) > 2:
+            RESULTS[stash_keys[2]] = round(prefix_mean, 1)
     return mean, spread, prefix_mean
 
 
@@ -788,19 +800,13 @@ def main():
         plen = 256 if left() > NEED_CHURN192 + NEED_PREFIX else 0
         if not plen:
             log("  (prefix ON/OFF pair skipped: cold budget)")
-        churn192 = _fenced("serving churn b192", bench_serving_churn, cfg,
-                           qparams, slots=192, also_prefix_len=plen)
-        if churn192:
-            RESULTS["churn192_tps"] = churn192[0]
-            RESULTS["churn192_spread_pct"] = churn192[1]
-            if churn192[2]:
-                RESULTS["churn192_prefix_tps"] = churn192[2]
+        _fenced("serving churn b192", bench_serving_churn, cfg,
+                qparams, slots=192, also_prefix_len=plen,
+                stash_keys=("churn192_tps", "churn192_spread_pct",
+                            "churn192_prefix_tps"))
         if gate("churn64", NEED_CHURN64):
-            churn = _fenced("serving churn", bench_serving_churn, cfg,
-                            qparams)
-            if churn:
-                RESULTS["churn_tps"] = churn[0]
-                RESULTS["churn64_spread_pct"] = churn[1]
+            _fenced("serving churn", bench_serving_churn, cfg, qparams,
+                    stash_keys=("churn_tps", "churn64_spread_pct"))
         del qparams
         gc.collect()
 
